@@ -1,0 +1,145 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "scaling": {"docs": N, "local8_docs_per_sec": ..., "local32_docs_per_sec": ...,
+               "efficiency": ...}}
+
+Two parts:
+1. per-query wall time of every __spark_entry__ query at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+2. the BASELINE.json two-cluster-size criterion, realized in-sandbox: the
+   flagship docs spatial join (synthesized interleaved docs table → geom-span
+   extraction → tile → broadcast cell join → vectorized PIP refine) on the
+   SAME input at local[8] and local[32]; reports throughput at both and
+   scaling efficiency = thr(32) / (4 * thr(8)). Also writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_BENCH_DOCS = int(os.environ.get("NTS_BENCH_DOCS", "4000000"))
+SKIP_SCALING = os.environ.get("NTS_BENCH_SKIP_SCALING", "") == "1"
+
+
+def synth_docs(spark, n_docs: int):
+    """Deterministic interleaved docs table (input_hint shape) of n_docs rows,
+    built from spark.range — native expressions only."""
+    from nettopologysuite_spark.engine.derive import points_sql
+
+    spark.range(n_docs).createOrReplaceTempView("_bench_ids")
+    spark.sql(points_sql("_bench_ids", "id", "did")).createOrReplaceTempView("_bench_pts")
+    return spark.sql(
+        """
+        SELECT format_string('doc-%012d', did) AS doc_id,
+               array(
+                 named_struct('kind', 'text', 'text', concat('document body ', CAST(did AS STRING)),
+                              'media_ref', CAST(NULL AS STRING), 'offset', 0),
+                 named_struct('kind', 'media', 'text', CAST(NULL AS STRING),
+                              'media_ref', concat('media://bench/', CAST(did AS STRING)),
+                              'offset', 32),
+                 named_struct('kind', 'geom',
+                              'text', format_string('POINT (%s %s)', x, y),
+                              'media_ref', CAST(NULL AS STRING), 'offset', 33)
+               ) AS spans
+        FROM _bench_pts
+        """
+    )
+
+
+def flagship_join_count(spark, n_docs: int) -> int:
+    """The scaling-probe job: docs → extract → tile → join → refine → count."""
+    import __spark_entry__ as E
+    from nettopologysuite_spark.engine.docs import extract_geom_points
+    from nettopologysuite_spark.engine.joins import pip_join_points
+
+    docs = synth_docs(spark, n_docs)
+    pts = extract_geom_points(docs)
+    keys = list(range(25))
+    pack = E._octagon_pack(keys)
+    out = pip_join_points(pts, pack, E.GRID, predicate="covers")
+    return out.count()
+
+
+def run_scaling_probe() -> dict:
+    from nettopologysuite_spark.engine.session import get_spark
+
+    results = {}
+    for cores in (8, 32):
+        spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        # warm-up (JIT, Arrow init, python worker spawn)
+        flagship_join_count(spark, 200_000)
+        t0 = time.time()
+        n = flagship_join_count(spark, N_BENCH_DOCS)
+        dt = time.time() - t0
+        results[cores] = {"sec": dt, "docs_per_sec": N_BENCH_DOCS / dt, "rows_out": n}
+        spark.stop()
+    eff = results[32]["docs_per_sec"] / (4.0 * results[8]["docs_per_sec"])
+    return {
+        "docs": N_BENCH_DOCS,
+        "local8_docs_per_sec": round(results[8]["docs_per_sec"], 1),
+        "local32_docs_per_sec": round(results[32]["docs_per_sec"], 1),
+        "local8_sec": round(results[8]["sec"], 3),
+        "local32_sec": round(results[32]["sec"], 3),
+        "rows_out": results[32]["rows_out"],
+        "efficiency": round(eff, 4),
+    }
+
+
+def main():
+    import __spark_entry__ as E
+    from nettopologysuite_spark.engine.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings = {}
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    scaling = None if SKIP_SCALING else run_scaling_probe()
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "spatial_join_suite_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+    }
+    if scaling:
+        out["scaling"] = scaling
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write(
+                "# BENCH — measured baseline\n\n"
+                f"Flagship docs spatial join (synthesized interleaved docs table, "
+                f"{scaling['docs']:,} docs; octagon pack of 25; tile level {6}):\n\n"
+                f"| parallelism | wall (s) | docs/sec |\n|---|---|---|\n"
+                f"| local[8]  | {scaling['local8_sec']} | {scaling['local8_docs_per_sec']:,} |\n"
+                f"| local[32] | {scaling['local32_sec']} | {scaling['local32_docs_per_sec']:,} |\n\n"
+                f"Scaling efficiency N→4N = thr(32) / (4 × thr(8)) = "
+                f"**{scaling['efficiency']}** (gate: ≥ 0.8)\n\n"
+                f"Join output rows: {scaling['rows_out']:,}\n\n"
+                f"Per-query wall times at sf={out['sf']} on local[{CPUS}] (sec):\n\n"
+                + "\n".join(f"- {k}: {v}" for k, v in timings.items())
+                + "\n"
+            )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

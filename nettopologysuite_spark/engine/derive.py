@@ -1,0 +1,153 @@
+"""Deterministic synthetic-geometry derivation — single source of truth.
+
+The sandbox provides no real spatial tables, so geometry inputs are derived
+*deterministically* from the integer keys of the driver's parquet tables via
+LCG-style modular arithmetic. Every derivation here is expressed BOTH as
+numpy (engine kernels) and as an ANSI-SQL fragment (DuckDB correctness
+oracle). All arithmetic is exact: products stay under 2^63 and the float
+results carry ≤ 27 significand bits, so Spark, numpy and DuckDB produce
+bit-identical doubles.
+
+The synthetic workload shape mirrors the reference's perf fixtures: uniform
+random points in a [0,100)² extent (``test/.../IndexedPointInAreaPerfTest.cs:30-35``
+uses ``rand.NextDouble()*100``) probed against a small pack of convex
+polygons (``Utilities/GeometricShapeFactory.cs`` circles/rects analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kernels.geom import Geom, polygon
+
+# LCG multipliers (Knuth/xxhash-style odd constants); modulus 2^20 keeps the
+# derived coordinate exactly representable after * 100.0 (27-bit values).
+_AX = 2654435761
+_AY = 2246822519
+_CY = 1013904223
+_MOD = 1048576  # 2^20
+EXTENT = 100.0
+
+
+def points_sql(table: str, id_col: str, pid_alias: str = "pid") -> str:
+    """SQL producing (pid, x, y) from an integer id column — valid in both
+    Spark SQL and DuckDB, bit-identical results."""
+    # CAST(... AS DOUBLE) everywhere: DuckDB would otherwise type a literal
+    # like 1048576.0 as DECIMAL and silently round the derived coordinates.
+    mod = f"CAST({_MOD} AS DOUBLE)"
+    ext = f"CAST({int(EXTENT)} AS DOUBLE)"
+    return (
+        f"SELECT {id_col} AS {pid_alias}, "
+        f"CAST(({id_col} * {_AX}) % {_MOD} AS DOUBLE) / {mod} * {ext} AS x, "
+        f"CAST((({id_col} * {_AY}) + {_CY}) % {_MOD} AS DOUBLE) / {mod} * {ext} AS y "
+        f"FROM {table}"
+    )
+
+
+def points_numpy(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Same derivation as :func:`points_sql`, in numpy."""
+    ids = np.asarray(ids, dtype=np.int64)
+    hx = (ids * _AX) % _MOD
+    hy = (ids * _AY + _CY) % _MOD
+    x = hx.astype(np.float64) / float(_MOD) * EXTENT
+    y = hy.astype(np.float64) / float(_MOD) * EXTENT
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# Polygon packs derived from the nation table (25 keys, 0..24)
+# ---------------------------------------------------------------------------
+
+# convex CCW octagon template with integer vertices (kept integer after
+# scaling so every half-plane cross product is exact in double)
+OCTAGON = [(4, 0), (3, 3), (0, 4), (-3, 3), (-4, 0), (-3, -3), (0, -4), (3, -3)]
+
+
+def nation_center(nk: int) -> tuple[int, int]:
+    return 10 + (nk % 5) * 20, 10 + (nk // 5) * 20
+
+
+def nation_octagon_vertices(nk: int) -> np.ndarray:
+    """Integer-vertex convex octagon for nation key nk (CCW, open ring)."""
+    cx, cy = nation_center(nk)
+    s = 1 + (nk % 2)
+    return np.array([(cx + s * tx, cy + s * ty) for tx, ty in OCTAGON], dtype=np.float64)
+
+
+def nation_octagon_geom(nk: int) -> Geom:
+    return polygon(nation_octagon_vertices(nk))
+
+
+def nation_octagon_sql_pred(x: str, y: str, nk: str) -> str:
+    """SQL predicate: point ({x},{y}) covered by nation {nk}'s octagon
+    (boundary inclusive) — the exact half-plane formula the PreparedConvex
+    kernel evaluates, so results are bit-identical."""
+    cx = f"(10 + ({nk} % 5) * 20)"
+    cy = f"(10 + (CAST(FLOOR({nk} / 5) AS BIGINT)) * 20)"
+    s = f"(1 + ({nk} % 2))"
+    terms = []
+    n = len(OCTAGON)
+    for i in range(n):
+        x1, y1 = OCTAGON[i]
+        x2, y2 = OCTAGON[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1
+        # cross = dx*( y - y1v ) - dy*( x - x1v ); vertex = center + s*template
+        terms.append(
+            f"(({s} * {dx}) * ({y} - {cy} - {s} * {y1}) - "
+            f"({s} * {dy}) * ({x} - {cx} - {s} * {x1}) >= 0.0)"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+def nation_rect(nk: int) -> tuple[float, float, float, float]:
+    """Axis-aligned rectangle (minx, miny, maxx, maxy) for nation key nk."""
+    cx, cy = nation_center(nk)
+    w = 3 + (nk % 4)
+    h = 2 + (nk % 3)
+    return (cx - w, cy - h, cx + w, cy + h)
+
+
+def nation_rect_geom(nk: int) -> Geom:
+    minx, miny, maxx, maxy = nation_rect(nk)
+    return polygon([(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy)])
+
+
+def nation_rect_sql_pred(x: str, y: str, nk: str) -> str:
+    cx = f"(10 + ({nk} % 5) * 20)"
+    cy = f"(10 + (CAST(FLOOR({nk} / 5) AS BIGINT)) * 20)"
+    w = f"(3 + ({nk} % 4))"
+    h = f"(2 + ({nk} % 3))"
+    return (
+        f"({x} >= {cx} - {w} AND {x} <= {cx} + {w} "
+        f"AND {y} >= {cy} - {h} AND {y} <= {cy} + {h})"
+    )
+
+
+def nation_radius(nk: int) -> float:
+    return float(5 + (nk % 3) * 2)
+
+
+def nation_radius_sql(nk: str) -> str:
+    return f"(5 + ({nk} % 3) * 2)"
+
+
+def sql_double(v: float) -> str:
+    """A float constant as portable SQL that both Spark and DuckDB type as
+    DOUBLE (bare float literals become DECIMAL in DuckDB)."""
+    if v == int(v):
+        return f"CAST({int(v)} AS DOUBLE)"
+    num = v * 1048576.0
+    if num == int(num):
+        return f"(CAST({int(num)} AS DOUBLE) / CAST(1048576 AS DOUBLE))"
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def morton_sql_expr(ix: str, iy: str, level: int) -> str:
+    """Bit-interleave (Z-order) as pure integer arithmetic — matches
+    kernels.cells.morton_encode; valid in Spark SQL and DuckDB."""
+    terms = []
+    for b in range(level):
+        p2 = 1 << b
+        terms.append(f"(CAST(FLOOR({ix} / {p2}) AS BIGINT) % 2) * {1 << (2 * b)}")
+        terms.append(f"(CAST(FLOOR({iy} / {p2}) AS BIGINT) % 2) * {1 << (2 * b + 1)}")
+    return "(" + " + ".join(terms) + ")"

@@ -1,0 +1,112 @@
+"""The interleaved documents table (BASELINE.json input_hint) and the
+flagship document spatial-join pipeline.
+
+Table shape (exactly per input_hint):
+    docs(doc_id string, spans array<struct<kind:string, text:string,
+         media_ref:string, offset:int>>)
+
+``synthesize_docs`` derives it deterministically from the driver's
+``documents.parquet`` with *native Spark expressions only* — geometry spans
+carry WKT points whose coordinates come from the shared LCG derivation
+(``derive.points_sql``), so an external SQL oracle can recompute them.
+
+The pipeline never explodes-and-regroups ``spans`` (SURVEY.md §7.3 #6):
+geometry extraction projects (doc_id, x, y) *alongside* the untouched spans
+column; outputs re-attach spans by doc_id from the source snapshot, so the
+span-sequence invariant (kind, text, media_ref, order) holds by construction
+and is re-checked by ``check_span_invariant``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernels.cells import Grid
+from .derive import points_sql
+from .polygons import PolygonPack
+from .joins import pip_join_points
+
+SPAN_SCHEMA = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def synthesize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → docs(doc_id, spans) with interleaved
+    text / media / geom spans. Pure native expressions (codegen'd)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("_nts_documents")
+    pts = spark.sql(points_sql("_nts_documents", "doc_id", "did"))
+    pts.createOrReplaceTempView("_nts_doc_pts")
+    return spark.sql(
+        """
+        SELECT format_string('doc-%012d', d.doc_id) AS doc_id,
+               array(
+                 named_struct('kind', 'text', 'text', d.text,
+                              'media_ref', CAST(NULL AS STRING), 'offset', 0),
+                 named_struct('kind', 'media',
+                              'text', CAST(NULL AS STRING),
+                              'media_ref', format_string('media://%s/%d', d.source, d.doc_id),
+                              'offset', CAST(length(d.text) AS INT)),
+                 named_struct('kind', 'geom',
+                              'text', format_string('POINT (%s %s)', p.x, p.y),
+                              'media_ref', CAST(NULL AS STRING),
+                              'offset', CAST(length(d.text) + 1 AS INT))
+               ) AS spans
+        FROM _nts_documents d JOIN _nts_doc_pts p ON d.doc_id = p.did
+        """
+    )
+
+
+def extract_geom_points(docs: DataFrame) -> DataFrame:
+    """(doc_id, span_idx, x, y) from geom spans carrying 'POINT (x y)' WKT.
+
+    The WKT→coordinate parse is a native regexp projection (JVM-side); the
+    general WKT parser kernel handles non-point spans elsewhere. Spans are
+    NOT carried through the explode — they re-attach by doc_id later.
+    """
+    ex = docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).filter(F.col("span.kind") == "geom")
+    num = r"([-+]?[0-9]*\.?[0-9]+(?:[Ee][-+]?[0-9]+)?)"
+    pat = rf"POINT \({num} {num}\)"
+    return ex.select(
+        "doc_id",
+        "span_idx",
+        F.regexp_extract(F.col("span.text"), pat, 1).cast("double").alias("x"),
+        F.regexp_extract(F.col("span.text"), pat, 2).cast("double").alias("y"),
+    )
+
+
+def docs_spatial_join(
+    spark: SparkSession,
+    sf_dir: str,
+    pack: PolygonPack,
+    grid: Grid,
+    predicate: str = "covers",
+    with_spans: bool = False,
+) -> DataFrame:
+    """End-to-end flagship: docs → geom spans → tile → broadcast cell join →
+    exact PIP refine → (doc_id, poly_id, cell_id) [+ preserved spans]."""
+    docs = synthesize_docs(spark, sf_dir)
+    pts = extract_geom_points(docs)
+    joined = pip_join_points(pts, pack, grid, predicate=predicate)
+    out = joined.select("doc_id", "span_idx", "poly_id", "cell_id", "x", "y")
+    if with_spans:
+        out = out.join(docs, "doc_id")  # re-attach untouched spans by key
+    return out
+
+
+def check_span_invariant(source_docs: DataFrame, output_docs: DataFrame) -> int:
+    """Rows violating span-sequence equality (kind, text, media_ref, order)
+    between output docs and the source snapshot. 0 ⇒ invariant holds.
+
+    Comparison strips ``offset`` is NOT allowed — offset participates via
+    ordering; the struct sequence must be identical, so a full equality on
+    the spans arrays (which are ordered) is the check.
+    """
+    src = source_docs.select("doc_id", F.col("spans").alias("src_spans"))
+    out = output_docs.select("doc_id", "spans").dropDuplicates(["doc_id"])
+    joined = out.join(src, "doc_id", "left")
+    bad = joined.filter(
+        F.col("src_spans").isNull() | (F.col("spans") != F.col("src_spans"))
+    )
+    return bad.count()
