@@ -66,71 +66,88 @@ def length(g: Geom) -> float:
     return 0.0
 
 
+def _ring_is_ccw(r: np.ndarray) -> bool:
+    from .orientation import is_ccw
+
+    return is_ccw(r)
+
+
 def centroid(g: Geom) -> tuple[float, float] | None:
-    """Dimension-weighted centroid (Centroid.cs Add/GetCentroid logic)."""
-    a_sum = 0.0
-    a_cx = 0.0
-    a_cy = 0.0
-    l_sum = 0.0
-    l_cx = 0.0
-    l_cy = 0.0
-    p_n = 0
-    p_cx = 0.0
-    p_cy = 0.0
+    """Dimension-weighted centroid — exact port of ``Algorithm/Centroid.cs``:
+    triangles anchored at the current shell's first coordinate (:170-190,
+    numerically essential for near-degenerate rings), rings also feed the
+    lineal accumulator, zero-length components degrade to their first point
+    (:229-252), highest present dimension wins (:122-153)."""
+    state = {
+        "base": None,
+        "cg3x": 0.0, "cg3y": 0.0, "areasum2": 0.0,
+        "lcx": 0.0, "lcy": 0.0, "tlen": 0.0,
+        "pn": 0, "pcx": 0.0, "pcy": 0.0,
+    }
+
+    def add_point(x: float, y: float):
+        state["pn"] += 1
+        state["pcx"] += x
+        state["pcy"] += y
+
+    def add_line_segments(pts: np.ndarray):
+        line_len = 0.0
+        for i in range(len(pts) - 1):
+            seg = math.hypot(pts[i + 1, 0] - pts[i, 0], pts[i + 1, 1] - pts[i, 1])
+            if seg == 0.0:
+                continue
+            line_len += seg
+            state["lcx"] += seg * ((pts[i, 0] + pts[i + 1, 0]) / 2)
+            state["lcy"] += seg * ((pts[i, 1] + pts[i + 1, 1]) / 2)
+        state["tlen"] += line_len
+        if line_len == 0.0 and len(pts) > 0:
+            add_point(float(pts[0, 0]), float(pts[0, 1]))
+
+    def add_triangles(pts: np.ndarray, positive: bool):
+        sign = 1.0 if positive else -1.0
+        bx, by = state["base"]
+        for i in range(len(pts) - 1):
+            area2 = (pts[i, 0] - bx) * (pts[i + 1, 1] - by) - (
+                pts[i + 1, 0] - bx
+            ) * (pts[i, 1] - by)
+            cx3 = bx + pts[i, 0] + pts[i + 1, 0]
+            cy3 = by + pts[i, 1] + pts[i + 1, 1]
+            state["cg3x"] += sign * area2 * cx3
+            state["cg3y"] += sign * area2 * cy3
+            state["areasum2"] += sign * area2
 
     def add(geom: Geom):
-        nonlocal a_sum, a_cx, a_cy, l_sum, l_cx, l_cy, p_n, p_cx, p_cy
         if geom.gtype == POINT:
             if not geom.is_empty:
-                p_n += 1
-                p_cx += geom.coords[0, 0]
-                p_cy += geom.coords[0, 1]
+                add_point(float(geom.coords[0, 0]), float(geom.coords[0, 1]))
         elif geom.gtype == LINESTRING:
-            c = geom.coords
-            if c is None or len(c) < 2:
-                if c is not None and len(c) == 1:
-                    p_n += 1
-                    p_cx += c[0, 0]
-                    p_cy += c[0, 1]
-                return
-            d = np.diff(c, axis=0)
-            seg_len = np.sqrt((d * d).sum(axis=1))
-            mid = (c[:-1] + c[1:]) * 0.5
-            l_sum += float(seg_len.sum())
-            l_cx += float((mid[:, 0] * seg_len).sum())
-            l_cy += float((mid[:, 1] * seg_len).sum())
+            if geom.coords is not None and len(geom.coords) > 0:
+                add_line_segments(geom.coords)
         elif geom.gtype == POLYGON:
-            for k, r in enumerate(geom.rings):
-                x = r[:, 0]
-                y = r[:, 1]
-                cross = x[:-1] * y[1:] - x[1:] * y[:-1]
-                a2 = float(cross.sum())
-                sx = float((cross * (x[:-1] + x[1:])).sum())
-                sy = float((cross * (y[:-1] + y[1:])).sum())
-                if a2 < 0:  # normalize ring orientation to CCW
-                    a2, sx, sy = -a2, -sx, -sy
-                sign = 1.0 if k == 0 else -1.0  # holes subtract
-                a_sum += sign * a2
-                a_cx += sign * sx
-                a_cy += sign * sy
-                # lineal fallback accumulators (used when total area is 0)
-                d = np.diff(r, axis=0)
-                seg_len = np.sqrt((d * d).sum(axis=1))
-                mid = (r[:-1] + r[1:]) * 0.5
-                l_sum += float(seg_len.sum())
-                l_cx += float((mid[:, 0] * seg_len).sum())
-                l_cy += float((mid[:, 1] * seg_len).sum())
+            if not geom.rings:
+                return
+            shell = geom.rings[0]
+            if len(shell) > 0:
+                state["base"] = (float(shell[0, 0]), float(shell[0, 1]))
+            add_triangles(shell, positive=not _ring_is_ccw(shell))
+            add_line_segments(shell)
+            for hole in geom.rings[1:]:
+                add_triangles(hole, positive=_ring_is_ccw(hole))
+                add_line_segments(hole)
         else:
             for p in geom.parts:
                 add(p)
 
     add(g)
-    if a_sum != 0.0:
-        return (a_cx / (3.0 * a_sum), a_cy / (3.0 * a_sum))
-    if l_sum != 0.0:
-        return (l_cx / l_sum, l_cy / l_sum)
-    if p_n:
-        return (p_cx / p_n, p_cy / p_n)
+    if abs(state["areasum2"]) > 0.0:
+        return (
+            state["cg3x"] / 3 / state["areasum2"],
+            state["cg3y"] / 3 / state["areasum2"],
+        )
+    if state["tlen"] > 0.0:
+        return (state["lcx"] / state["tlen"], state["lcy"] / state["tlen"])
+    if state["pn"] > 0:
+        return (state["pcx"] / state["pn"], state["pcy"] / state["pn"])
     return None
 
 
@@ -212,32 +229,37 @@ def distance(a: Geom, b: Geom) -> float:
     from .pip import EXTERIOR, PreparedPolygon
 
     if a.is_empty or b.is_empty:
-        return math.nan
+        return 0.0  # DistanceOp convention for empty inputs (corpus expects 0)
 
     ax1, ay1, ax2, ay2 = _segments_of(a)
     bx1, by1, bx2, by2 = _segments_of(b)
     a_pts = a.all_coords()
     b_pts = b.all_coords()
 
+    # min over: segment×segment, every A vertex/point × B segments, every
+    # B vertex/point × A segments, point×point (isolated points included —
+    # all_coords carries both segment vertices and point components)
     best = np.inf
     if len(ax1) and len(bx1):
-        best = _segseg_dist2(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
-    elif len(ax1):
-        best = float(
+        best = min(best, _segseg_dist2(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2))
+    if len(bx1) and len(a_pts):
+        best = min(best, float(
             point_segment_dist2(
-                b_pts[:, 0][:, None], b_pts[:, 1][:, None], ax1[None, :], ay1[None, :], ax2[None, :], ay2[None, :]
+                a_pts[:, 0][:, None], a_pts[:, 1][:, None],
+                bx1[None, :], by1[None, :], bx2[None, :], by2[None, :],
             ).min()
-        )
-    elif len(bx1):
-        best = float(
+        ))
+    if len(ax1) and len(b_pts):
+        best = min(best, float(
             point_segment_dist2(
-                a_pts[:, 0][:, None], a_pts[:, 1][:, None], bx1[None, :], by1[None, :], bx2[None, :], by2[None, :]
+                b_pts[:, 0][:, None], b_pts[:, 1][:, None],
+                ax1[None, :], ay1[None, :], ax2[None, :], ay2[None, :],
             ).min()
-        )
-    else:
+        ))
+    if len(a_pts) and len(b_pts):
         dx = a_pts[:, 0][:, None] - b_pts[None, :, 0]
         dy = a_pts[:, 1][:, None] - b_pts[None, :, 1]
-        best = float((dx * dx + dy * dy).min())
+        best = min(best, float((dx * dx + dy * dy).min()))
 
     if best > 0:
         # containment: any vertex of one inside a polygonal other → 0

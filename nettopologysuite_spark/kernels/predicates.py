@@ -263,17 +263,9 @@ def contains(a: Geom, b: Geom) -> bool:
 
 
 def evaluate_predicate(name: str, a: Geom, b: Geom) -> bool:
-    name = name.lower()
-    if name == "intersects":
-        return intersects(a, b)
-    if name == "disjoint":
-        return not intersects(a, b)
-    if name == "covers":
-        return covers(a, b)
-    if name == "coveredby":
-        return covers(b, a)
-    if name == "contains":
-        return contains(a, b)
-    if name == "within":
-        return contains(b, a)
-    raise ValueError(f"unsupported predicate {name!r}")
+    """Exact predicate evaluation via the DE-9IM relate kernel (the corpus-
+    verified engine); the direct intersects/covers fast paths above remain
+    available for callers that have already proven their preconditions."""
+    from .relate import relate_predicate
+
+    return relate_predicate(a, b, name)

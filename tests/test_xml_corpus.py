@@ -1,0 +1,121 @@
+"""Golden-corpus gate: every runnable op of the reference's XML test suite
+must pass bit-for-bit (booleans / DE-9IM strings exact; geometry outputs
+compared via Normalize + EqualsExact per GeometryTestCase.cs:41-92; centroid
+tolerance 1e-7 mirrors the runner's tolerance handling)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from xml_corpus import CORPUS, expected_bool, geoms_for, load_file  # noqa: E402
+
+from nettopologysuite_spark.kernels.boundary import boundary  # noqa: E402
+from nettopologysuite_spark.kernels.geom import POINT, Geom, wkt_loads  # noqa: E402
+from nettopologysuite_spark.kernels.hull import convex_hull  # noqa: E402
+from nettopologysuite_spark.kernels.interior_point import interior_point  # noqa: E402
+from nettopologysuite_spark.kernels.measures import (  # noqa: E402
+    centroid,
+    distance,
+    is_within_distance,
+)
+from nettopologysuite_spark.kernels.normalize import (  # noqa: E402
+    equals_exact,
+    equals_normalized,
+)
+from nettopologysuite_spark.kernels.relate import (  # noqa: E402
+    matches,
+    relate,
+    relate_predicate,
+)
+
+PRED = {
+    "contains", "within", "intersects", "disjoint", "covers", "coveredby",
+    "crosses", "touches", "overlaps", "equalstopo",
+}
+
+GENERAL = [
+    "TestRelatePP.xml", "TestRelatePL.xml", "TestRelatePA.xml",
+    "TestRelateLL.xml", "TestRelateLA.xml", "TestRelateAA.xml",
+    "TestDistance.xml", "TestWithinDistance.xml", "TestCentroid.xml",
+    "TestInteriorPoint.xml", "TestConvexHull.xml", "TestConvexHull-big.xml",
+    "TestBoundary.xml", "TestEqualsExact.xml", "TestRectanglePredicate.xml",
+    "TestPreparedPolygonPredicate.xml", "TestPreparedPointPredicate.xml",
+    "TestPreparedPredicatesWithGeometryCollection.xml",
+]
+VALIDATE = [p.name for p in sorted((CORPUS / "validate").glob("*.xml"))]
+
+
+def run_op(c, op):
+    """Returns (handled, passed, detail)."""
+    g1, g2 = geoms_for(c, op)
+    if g1 is None:
+        return False, True, None
+    if op.op == "relate":
+        got = relate(g1, g2)
+        return True, matches(got, op.arg3) == expected_bool(op.expected), got
+    if op.op in PRED:
+        got = relate_predicate(g1, g2, op.op)
+        return True, got == expected_bool(op.expected), got
+    if op.op == "distance":
+        got = distance(g1, g2)
+        return True, abs(got - float(op.expected)) < 1e-9, got
+    if op.op == "iswithindistance":
+        got = is_within_distance(g1, g2, float(op.arg3))
+        return True, got == expected_bool(op.expected), got
+    if op.op == "convexhull":
+        got = convex_hull(g1)
+        return True, equals_normalized(got, wkt_loads(op.expected)), got
+    if op.op == "getboundary":
+        got = boundary(g1)
+        return True, equals_normalized(got, wkt_loads(op.expected)), got
+    if op.op == "getcentroid":
+        c2 = centroid(g1)
+        exp = wkt_loads(op.expected)
+        got = Geom(POINT, coords=np.array([c2]) if c2 else None)
+        return True, (equals_normalized(got, exp, tol=1e-7) if c2 else exp.is_empty), c2
+    if op.op == "getinteriorpoint":
+        ip = interior_point(g1)
+        exp = wkt_loads(op.expected)
+        got = Geom(POINT, coords=np.array([ip]) if ip else None)
+        return True, (equals_normalized(got, exp) if ip else exp.is_empty), ip
+    if op.op == "equalsexact":
+        got = equals_exact(g1, g2)
+        return True, got == expected_bool(op.expected), got
+    if op.op == "equalsnorm":
+        got = equals_normalized(g1, g2)
+        return True, got == expected_bool(op.expected), got
+    return False, True, None
+
+
+def run_suite(suite: str, fname: str):
+    total = passed = 0
+    fails = []
+    for c in load_file(CORPUS / suite / fname):
+        for op in c.ops:
+            handled, ok, detail = run_op(c, op)
+            if not handled:
+                continue
+            total += 1
+            if ok:
+                passed += 1
+            else:
+                fails.append((op.case_id, c.desc[:40], op.op, op.expected[:40], detail))
+    return total, passed, fails
+
+
+@pytest.mark.parametrize("fname", GENERAL)
+def test_general_suite(fname):
+    total, passed, fails = run_suite("general", fname)
+    assert total > 0
+    assert passed == total, fails[:5]
+
+
+@pytest.mark.parametrize("fname", VALIDATE)
+def test_validate_suite(fname):
+    total, passed, fails = run_suite("validate", fname)
+    assert total > 0
+    assert passed == total, fails[:5]
