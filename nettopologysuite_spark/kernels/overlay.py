@@ -1,0 +1,915 @@
+"""Overlay set operations: intersection / union / difference / symDifference.
+
+Reimplements the semantics of the reference's OverlayNG
+(``Operation/OverlayNG/OverlayNG.cs:180-245`` statics; result assembly
+``GetResult`` :424) with the same conceptual pipeline — node all input
+linework, label noded edges by location in each input, select and orient
+result edges per operation, assemble polygons/lines/points
+(``OverlayLabeller.cs`` / ``PolygonBuilder`` / ``LineBuilder`` analogs) —
+over this package's own primitives:
+
+- exact pairwise segment noding (split coordinates computed ONCE per
+  crossing with exact rational arithmetic, mirroring the double-double
+  ``CGAlgorithmsDD.Intersection`` :173-198, so both sides share identical
+  vertices);
+- structural shared-edge detection (coincident noded edges, no float
+  re-testing);
+- prepared-PIP midpoint classification for non-shared edges;
+- interior-on-the-left ring walking with clockwise-most edge choice.
+
+Result structure follows OverlayNG: polygons + residual lines + isolated
+points, collapsed via factory BuildGeometry rules; empty results typed by
+``OverlayUtil.CreateEmptyResult`` dimension rules.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import numpy as np
+
+from .geom import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geom,
+)
+from .orientation import is_ccw
+from .pip import BOUNDARY, EXTERIOR, INTERIOR, PreparedPolygon
+
+INTERSECTION = "intersection"
+UNION = "union"
+DIFFERENCE = "difference"
+SYMDIFFERENCE = "symdifference"
+
+
+# ---------------------------------------------------------------------------
+# exact intersection point (CGAlgorithmsDD.Intersection port via rationals)
+# ---------------------------------------------------------------------------
+
+def _line_intersection_exact(p1, p2, q1, q2):
+    px = Fraction(p1[1]) - Fraction(p2[1])
+    py = Fraction(p2[0]) - Fraction(p1[0])
+    pw = Fraction(p1[0]) * Fraction(p2[1]) - Fraction(p2[0]) * Fraction(p1[1])
+    qx = Fraction(q1[1]) - Fraction(q2[1])
+    qy = Fraction(q2[0]) - Fraction(q1[0])
+    qw = Fraction(q1[0]) * Fraction(q2[1]) - Fraction(q2[0]) * Fraction(q1[1])
+    w = px * qy - qx * py
+    if w == 0:
+        return None
+    x = (py * qw - qy * pw) / w
+    y = (qx * pw - px * qw) / w
+    return (float(x), float(y))
+
+
+def _seg_intersection(p1, p2, q1, q2):
+    """('none'|'point'|'overlap', payload).
+
+    point → (x, y) preferring exact endpoint coordinates;
+    overlap → ((t0, pt0), (t1, pt1)) along p with exact coordinates.
+    """
+    px, py = p1
+    dx, dy = p2[0] - px, p2[1] - py
+    qx, qy = q1
+    ex, ey = q2[0] - qx, q2[1] - qy
+    denom = dx * ey - dy * ex
+    wx, wy = qx - px, qy - py
+    if denom != 0.0:
+        t = (wx * ey - wy * ex) / denom
+        u = (wx * dy - wy * dx) / denom
+        if not (0.0 <= t <= 1.0 and 0.0 <= u <= 1.0):
+            return "none", None
+        if t == 0.0:
+            return "point", (p1, 0.0)
+        if t == 1.0:
+            return "point", (p2, 1.0)
+        if u == 0.0:
+            # exact parameter of q1 along p
+            tq = _param_on_segment(q1, p1, p2)
+            return "point", (q1, tq)
+        if u == 1.0:
+            tq = _param_on_segment(q2, p1, p2)
+            return "point", (q2, tq)
+        pt = _line_intersection_exact(p1, p2, q1, q2)
+        if pt is None:
+            return "none", None
+        return "point", (pt, t)
+    if wx * dy - wy * dx != 0.0:
+        return "none", None
+    ll = dx * dx + dy * dy
+    if ll == 0.0:
+        return "none", None
+    t0 = ((q1[0] - px) * dx + (q1[1] - py) * dy) / ll
+    t1 = ((q2[0] - px) * dx + (q2[1] - py) * dy) / ll
+    ents = sorted(((t0, q1), (t1, q2)))
+    lo_t, lo_p = ents[0]
+    hi_t, hi_p = ents[1]
+    if lo_t < 0.0:
+        lo_t, lo_p = 0.0, p1
+    if hi_t > 1.0:
+        hi_t, hi_p = 1.0, p2
+    if lo_t > hi_t:
+        return "none", None
+    if lo_t == hi_t:
+        return "point", (lo_p, lo_t)
+    return "overlap", ((lo_t, lo_p), (hi_t, hi_p))
+
+
+def _param_on_segment(pt, p1, p2) -> float:
+    dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+    ll = dx * dx + dy * dy
+    if ll == 0.0:
+        return 0.0
+    return ((pt[0] - p1[0]) * dx + (pt[1] - p1[1]) * dy) / ll
+
+
+# ---------------------------------------------------------------------------
+# features + global noding
+# ---------------------------------------------------------------------------
+
+def _trim_repeated(pts: np.ndarray) -> np.ndarray:
+    if len(pts) < 2:
+        return pts
+    keep = np.ones(len(pts), dtype=bool)
+    keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+    return pts[keep]
+
+
+class _Input:
+    """One side of the overlay, decomposed into canonical features."""
+
+    __slots__ = ("points", "chains", "chain_meta", "areas", "prepared", "dim")
+
+    def __init__(self, g: Geom):
+        self.points: list[tuple[float, float]] = []
+        # chains: (pts ndarray, kind) kind: 'line' | 'ring'
+        self.chains: list[tuple[np.ndarray, str]] = []
+        # chain_meta[i]: ('line', None, None) | ('ring', poly_idx, ring_idx)
+        self.chain_meta: list[tuple] = []
+        self.areas: list[Geom] = []
+        dim = -1
+        for leaf in g.flatten():
+            if leaf.gtype == POINT:
+                self.points.append((float(leaf.coords[0, 0]), float(leaf.coords[0, 1])))
+                dim = max(dim, 0)
+            elif leaf.gtype == LINESTRING:
+                pts = _trim_repeated(leaf.coords)
+                if len(pts) >= 2:
+                    self.chains.append((pts, "line"))
+                    self.chain_meta.append(("line", None, None))
+                dim = max(dim, 1)
+            elif leaf.gtype == POLYGON:
+                if leaf.rings:
+                    # canonical orientation: shell CCW, holes CW → interior
+                    # is on the LEFT of every directed ring edge
+                    rings = []
+                    shell = _trim_repeated(leaf.rings[0])
+                    if not is_ccw(shell):
+                        shell = shell[::-1].copy()
+                    rings.append(shell)
+                    for h in leaf.rings[1:]:
+                        h = _trim_repeated(h)
+                        if is_ccw(h):
+                            h = h[::-1].copy()
+                        rings.append(h)
+                    canon = Geom(POLYGON, rings=rings)
+                    poly_idx = len(self.areas)
+                    self.areas.append(canon)
+                    for ri, r in enumerate(rings):
+                        self.chains.append((r, "ring"))
+                        self.chain_meta.append(("ring", poly_idx, ri))
+                dim = max(dim, 2)
+        self.prepared = [PreparedPolygon(a) for a in self.areas]
+        self.dim = dim
+
+    def locate_areal(self, x: float, y: float) -> int:
+        best = EXTERIOR
+        for pp in self.prepared:
+            loc = int(pp.locate(np.array([x]), np.array([y]))[0])
+            if loc == INTERIOR:
+                return INTERIOR
+            if loc == BOUNDARY:
+                best = BOUNDARY
+        return best
+
+    def locate_full(self, x: float, y: float) -> int:
+        """Against areas + lines + points (union semantics)."""
+        loc = self.locate_areal(x, y) if self.areas else EXTERIOR
+        if loc == INTERIOR:
+            return INTERIOR
+        for pts, kind in self.chains:
+            if kind != "line":
+                continue
+            if _on_polyline(x, y, pts):
+                return INTERIOR  # treat line as its closure here
+        for px, py in self.points:
+            if px == x and py == y:
+                return INTERIOR
+        return loc
+
+
+def _on_polyline(x, y, ln) -> bool:
+    x1, y1 = ln[:-1, 0], ln[:-1, 1]
+    x2, y2 = ln[1:, 0], ln[1:, 1]
+    cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+    on = (
+        (cross == 0)
+        & (x >= np.minimum(x1, x2)) & (x <= np.maximum(x1, x2))
+        & (y >= np.minimum(y1, y2)) & (y <= np.maximum(y1, y2))
+    )
+    return bool(on.any())
+
+
+def _node_chains(inputs: list[tuple[int, _Input]]):
+    """Globally node every chain of both inputs against all other chains,
+    the other side's point features, and themselves (self-intersections).
+
+    Returns (edges, node_points):
+    - edges: list of (u, v, side, kind, chain_id) in per-chain order;
+    - node_points: every intersection/touch/endpoint vertex — result lines
+      must break at these (OverlayNG edges run node-to-node).
+    Coincident vertices are guaranteed: each crossing's coordinates are
+    computed once and injected into both participating chains.
+    """
+    chains = []  # (side, kind, pts)
+    for side, inp in inputs:
+        for pts, kind in inp.chains:
+            chains.append((side, kind, pts))
+    splits: list[dict[int, set]] = [dict() for _ in chains]
+    node_points: set = set()
+
+    def add_split(ci, si, t, pt):
+        node_points.add(pt)
+        if 0.0 < t < 1.0:
+            splits[ci].setdefault(si, set()).add((t, pt))
+
+    for ci in range(len(chains)):
+        si_pts = chains[ci][2]
+        for cj in range(ci + 1, len(chains)):
+            sj_pts = chains[cj][2]
+            if (
+                si_pts[:, 0].max() < sj_pts[:, 0].min()
+                or sj_pts[:, 0].max() < si_pts[:, 0].min()
+                or si_pts[:, 1].max() < sj_pts[:, 1].min()
+                or sj_pts[:, 1].max() < si_pts[:, 1].min()
+            ):
+                continue
+            for i in range(len(si_pts) - 1):
+                p1 = (float(si_pts[i, 0]), float(si_pts[i, 1]))
+                p2 = (float(si_pts[i + 1, 0]), float(si_pts[i + 1, 1]))
+                for j in range(len(sj_pts) - 1):
+                    q1 = (float(sj_pts[j, 0]), float(sj_pts[j, 1]))
+                    q2 = (float(sj_pts[j + 1, 0]), float(sj_pts[j + 1, 1]))
+                    kind, payload = _seg_intersection(p1, p2, q1, q2)
+                    if kind == "point":
+                        pt, t = payload
+                        add_split(ci, i, t, pt)
+                        add_split(cj, j, _param_on_segment(pt, q1, q2), pt)
+                    elif kind == "overlap":
+                        for t, pt in payload:
+                            add_split(ci, i, t, pt)
+                            add_split(cj, j, _param_on_segment(pt, q1, q2), pt)
+        # self-noding within the same chain (self-intersecting lines)
+        side, knd, pts = chains[ci]
+        if knd == "line":
+            n = len(pts) - 1
+            for i in range(n):
+                p1 = (float(pts[i, 0]), float(pts[i, 1]))
+                p2 = (float(pts[i + 1, 0]), float(pts[i + 1, 1]))
+                for j in range(i + 2, n):
+                    if i == 0 and j == n - 1 and (pts[0] == pts[-1]).all():
+                        continue
+                    q1 = (float(pts[j, 0]), float(pts[j, 1]))
+                    q2 = (float(pts[j + 1, 0]), float(pts[j + 1, 1]))
+                    kind, payload = _seg_intersection(p1, p2, q1, q2)
+                    if kind == "point":
+                        pt, t = payload
+                        add_split(ci, i, t, pt)
+                        add_split(ci, j, _param_on_segment(pt, q1, q2), pt)
+                    elif kind == "overlap":
+                        for t, pt in payload:
+                            add_split(ci, i, t, pt)
+                            add_split(ci, j, _param_on_segment(pt, q1, q2), pt)
+    edges = []  # (u, v, side, kind, chain_id)
+    for ci, (side, kind, pts) in enumerate(chains):
+        p_first = (float(pts[0, 0]), float(pts[0, 1]))
+        p_last = (float(pts[-1, 0]), float(pts[-1, 1]))
+        node_points.add(p_first)
+        node_points.add(p_last)
+        for i in range(len(pts) - 1):
+            p1 = (float(pts[i, 0]), float(pts[i, 1]))
+            p2 = (float(pts[i + 1, 0]), float(pts[i + 1, 1]))
+            cuts = sorted(splits[ci].get(i, ()))
+            verts = [p1] + [pt for _, pt in cuts] + [p2]
+            for k in range(len(verts) - 1):
+                if verts[k] != verts[k + 1]:
+                    edges.append((verts[k], verts[k + 1], side, kind, ci))
+    return edges, node_points
+
+
+# ---------------------------------------------------------------------------
+# edge classification + selection
+# ---------------------------------------------------------------------------
+
+class _Edge:
+    __slots__ = ("u", "v", "a_dir", "b_dir", "a_line", "b_line", "loc_a", "loc_b")
+
+    def __init__(self, u, v):
+        self.u = u
+        self.v = v
+        self.a_dir = 0   # ring membership of side A: +1 fwd, -1 rev, ±2 both
+        self.b_dir = 0
+        self.a_line = False
+        self.b_line = False
+        self.loc_a = None  # midpoint location vs side A areas
+        self.loc_b = None
+
+
+def _edge_key(u, v):
+    return (u, v) if u <= v else (v, u)
+
+
+def _collect_edges(a: _Input, b: _Input):
+    raw, node_points = _node_chains([(0, a), (1, b)])
+    emap: dict[tuple, _Edge] = {}
+    for u, v, side, kind, _ci in raw:
+        key = _edge_key(u, v)
+        e = emap.get(key)
+        if e is None:
+            e = _Edge(key[0], key[1])
+            emap[key] = e
+        fwd = 1 if (u, v) == key else -1
+        if side == 0:
+            if kind == "ring":
+                e.a_dir = fwd if e.a_dir == 0 else (2 if e.a_dir != fwd else e.a_dir)
+            else:
+                e.a_line = True
+        else:
+            if kind == "ring":
+                e.b_dir = fwd if e.b_dir == 0 else (2 if e.b_dir != fwd else e.b_dir)
+            else:
+                e.b_line = True
+    # classify midpoints against the OTHER side's areas
+    for e in emap.values():
+        mx = (e.u[0] + e.v[0]) * 0.5
+        my = (e.u[1] + e.v[1]) * 0.5
+        if e.a_dir or e.a_line:
+            e.loc_b = BOUNDARY if e.b_dir else b.locate_areal(mx, my)
+        if e.b_dir or e.b_line:
+            e.loc_a = BOUNDARY if e.a_dir else a.locate_areal(mx, my)
+    return emap, raw, node_points
+
+
+def _assemble_lines(raw, node_points, want) -> list[np.ndarray]:
+    """Result lines: per-chain runs of selected sub-edges, broken at node
+    points, never merged across chains; shared edges emitted once
+    (OverlayNG LineBuilder node-to-node edges)."""
+    consumed: set = set()
+    out: list[np.ndarray] = []
+    run: list = []
+    cur_chain = None
+
+    def flush():
+        nonlocal run
+        if len(run) >= 2:
+            out.append(np.array(run, dtype=np.float64))
+        run = []
+
+    for u, v, side, kind, ci in raw:
+        key = _edge_key(u, v)
+        if ci != cur_chain:
+            flush()
+            cur_chain = ci
+        if key in consumed or not want(key):
+            flush()
+            continue
+        consumed.add(key)
+        if run and run[-1] != u:
+            flush()
+        if not run:
+            run = [u, v]
+        else:
+            run.append(v)
+        if v in node_points:
+            flush()
+    flush()
+    return out
+
+
+def _select_area_edges(emap, op: str):
+    """Directed result-boundary edges (interior on the left) + residual
+    collinear line pieces for the intersection op."""
+    out = []        # directed edges (u → v)
+    lines = []      # undirected residual 1-dim pieces
+    for e in emap.values():
+        a_on = e.a_dir != 0
+        b_on = e.b_dir != 0
+        if a_on and b_on:
+            same = (e.a_dir == e.b_dir) or e.a_dir == 2 or e.b_dir == 2
+            if op == INTERSECTION:
+                if same:
+                    out.append(_directed(e, e.a_dir if e.a_dir != 2 else e.b_dir))
+                else:
+                    lines.append((e.u, e.v))
+            elif op == UNION:
+                if same:
+                    out.append(_directed(e, e.a_dir if e.a_dir != 2 else e.b_dir))
+                # opposite-direction shared edges are interior to the union
+            elif op == DIFFERENCE:
+                if not same:
+                    out.append(_directed(e, e.a_dir))
+            # SYMDIFFERENCE: shared edges never bound the result —
+            # same-direction borders A∩B (excluded) and exterior;
+            # opposite-direction has result interior on both sides
+        elif a_on:
+            keep = {
+                INTERSECTION: e.loc_b == INTERIOR,
+                UNION: e.loc_b == EXTERIOR,
+                DIFFERENCE: e.loc_b == EXTERIOR,
+                SYMDIFFERENCE: e.loc_b in (EXTERIOR, INTERIOR),
+            }[op]
+            if keep:
+                d = e.a_dir
+                if op == SYMDIFFERENCE and e.loc_b == INTERIOR:
+                    d = -d
+                out.append(_directed(e, d))
+        elif b_on:
+            keep = {
+                INTERSECTION: e.loc_a == INTERIOR,
+                UNION: e.loc_a == EXTERIOR,
+                DIFFERENCE: e.loc_a == INTERIOR,
+                SYMDIFFERENCE: e.loc_a in (EXTERIOR, INTERIOR),
+            }[op]
+            if keep:
+                d = e.b_dir
+                if op in (DIFFERENCE, SYMDIFFERENCE) and e.loc_a == INTERIOR:
+                    d = -d
+                out.append(_directed(e, d))
+    return out, lines
+
+
+def _directed(e: _Edge, d: int):
+    return (e.u, e.v) if d >= 0 else (e.v, e.u)
+
+
+# ---------------------------------------------------------------------------
+# ring assembly
+# ---------------------------------------------------------------------------
+
+def _assemble_rings(directed_edges):
+    """Walk faces with interior on the left: at each node continue with the
+    outgoing edge that is clockwise-closest to the reverse of the incoming
+    direction (OverlayNG MaximalEdgeRing linking analog)."""
+    out_map: dict[tuple, list] = {}
+    for u, v in directed_edges:
+        out_map.setdefault(u, []).append((u, v))
+    for node, lst in out_map.items():
+        lst.sort(key=lambda ed: math.atan2(ed[1][1] - ed[0][1], ed[1][0] - ed[0][0]))
+    used = set()
+    rings = []
+    for start in directed_edges:
+        if start in used:
+            continue
+        ring = [start[0]]
+        cur = start
+        ok = True
+        while True:
+            used.add(cur)
+            ring.append(cur[1])
+            nxt = _next_edge(out_map, cur)
+            if nxt is None:
+                ok = False
+                break
+            if nxt == start:
+                break  # face closed
+            if nxt in used:
+                ok = False
+                break
+            cur = nxt
+        if ok and len(ring) >= 4 and ring[0] == ring[-1]:
+            # split self-touching maximal rings into minimal rings at
+            # repeated nodes (OverlayNG MaximalEdgeRing → minimal rings)
+            rings.extend(_split_minimal(ring))
+    return rings
+
+
+def _split_minimal(ring: list) -> list[np.ndarray]:
+    out = []
+    path: list = []
+    index: dict = {}
+    for v in ring[:-1]:
+        if v in index:
+            i = index[v]
+            loop = path[i:] + [v]
+            if len(loop) >= 4:
+                out.append(np.array(loop, dtype=np.float64))
+            for w in path[i + 1 :]:
+                index.pop(w, None)
+            del path[i + 1 :]
+        else:
+            index[v] = len(path)
+            path.append(v)
+    if len(path) >= 3:
+        out.append(np.array(path + [path[0]], dtype=np.float64))
+    return out
+
+
+def _next_edge(out_map, incoming):
+    u, v = incoming
+    cands = out_map.get(v)
+    if not cands:
+        return None
+    # angle of reversed incoming direction at node v
+    back = math.atan2(u[1] - v[1], u[0] - v[0])
+    # choose outgoing with angle closest BELOW back (rotating clockwise)
+    best = None
+    best_delta = None
+    for ed in cands:
+        ang = math.atan2(ed[1][1] - ed[0][1], ed[1][0] - ed[0][0])
+        delta = (back - ang) % (2 * math.pi)
+        if delta == 0.0:
+            delta = 2 * math.pi  # never go straight back unless forced
+        if best_delta is None or delta < best_delta:
+            best_delta = delta
+            best = ed
+    return best
+
+
+def _rings_to_polygons(rings) -> list[Geom]:
+    """CCW rings = shells, CW = holes; holes assigned to smallest container."""
+    shells = []
+    holes = []
+    for r in rings:
+        (shells if is_ccw(r) else holes).append(r)
+    polys = [{"shell": s, "holes": [], "prep": PreparedPolygon(Geom(POLYGON, rings=[s]))} for s in shells]
+    # sort candidate shells by area so the smallest container wins
+    from .measures import _ring_signed_area2
+
+    for h in holes:
+        # pick an interior-ish probe: midpoint of first edge nudged? use a vertex
+        # then fall back over vertices until containment is decisive
+        best = None
+        best_area = None
+        for p in polys:
+            loc = p["prep"].locate(h[:-1, 0], h[:-1, 1])
+            if (loc != EXTERIOR).all() and (loc == INTERIOR).any():
+                area = abs(_ring_signed_area2(p["shell"]))
+                if best is None or area < best_area:
+                    best = p
+                    best_area = area
+        if best is not None:
+            best["holes"].append(h)  # orientation immaterial (normalize on compare)
+    out = []
+    for p in polys:
+        rings_out = [p["shell"]] + p["holes"]
+        out.append(Geom(POLYGON, rings=rings_out))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# line merging (maximal chains through degree-2 nodes)
+# ---------------------------------------------------------------------------
+
+def merge_lines(segments) -> list[np.ndarray]:
+    """Merge undirected segments into maximal polylines (LineMerger.cs)."""
+    adj: dict[tuple, list] = {}
+    for u, v in segments:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    unused = set()
+    for u, v in segments:
+        unused.add((u, v) if u <= v else (v, u))
+
+    def take(u, v):
+        unused.discard((u, v) if u <= v else (v, u))
+
+    lines = []
+    # start at nodes with degree != 2 first, then cycles
+    starts = [n for n, nbrs in adj.items() if len(nbrs) != 2]
+    for phase in (0, 1):
+        nodes = starts if phase == 0 else list(adj.keys())
+        for n in nodes:
+            for nb in list(adj.get(n, ())):
+                key = (n, nb) if n <= nb else (nb, n)
+                if key not in unused:
+                    continue
+                chain = [n, nb]
+                take(n, nb)
+                cur, prev = nb, n
+                while True:
+                    nbrs = adj.get(cur, ())
+                    if len(nbrs) != 2:
+                        break
+                    nxt = nbrs[0] if nbrs[0] != prev else nbrs[1]
+                    key2 = (cur, nxt) if cur <= nxt else (nxt, cur)
+                    if key2 not in unused:
+                        break
+                    chain.append(nxt)
+                    take(cur, nxt)
+                    prev, cur = cur, nxt
+                lines.append(np.array(chain, dtype=np.float64))
+    return lines
+
+
+# ---------------------------------------------------------------------------
+# result building
+# ---------------------------------------------------------------------------
+
+def build_geometry(parts: list[Geom], empty_dim: int = -1) -> Geom:
+    parts = [p for p in parts if p is not None and not p.is_empty]
+    if not parts:
+        if empty_dim == 0:
+            return Geom(POINT, coords=np.empty((0, 2)))
+        if empty_dim == 1:
+            return Geom(LINESTRING, coords=np.empty((0, 2)))
+        if empty_dim == 2:
+            return Geom(POLYGON)
+        return Geom(GEOMETRYCOLLECTION)
+    if len(parts) == 1:
+        return parts[0]
+    types = {p.gtype for p in parts}
+    if types == {POINT}:
+        return Geom(MULTIPOINT, parts=parts)
+    if types == {LINESTRING}:
+        return Geom(MULTILINESTRING, parts=parts)
+    if types == {POLYGON}:
+        return Geom(MULTIPOLYGON, parts=parts)
+    return Geom(GEOMETRYCOLLECTION, parts=parts)
+
+
+def _result_dim(op: str, da: int, db: int) -> int:
+    if op == INTERSECTION:
+        return min(da, db)
+    if op == UNION or op == SYMDIFFERENCE:
+        return max(da, db)
+    return da
+
+
+def overlay(ga: Geom, gb: Geom, op: str) -> Geom:
+    op = op.lower()
+    a = _Input(ga)
+    b = _Input(gb)
+    # result dimension uses TYPE-based dims so empty inputs type correctly
+    # (OverlayUtil.ResultDimension / CreateEmptyResult); dimension -1 of an
+    # empty GeometryCollection propagates → GEOMETRYCOLLECTION EMPTY
+    da = ga.dimension()
+    db = gb.dimension()
+    empty_dim = _result_dim(op, da, db)
+    if a.dim < 0 and b.dim < 0:
+        return build_geometry([], empty_dim)
+    if a.dim < 0:
+        if op in (INTERSECTION, DIFFERENCE):
+            return build_geometry([], empty_dim)
+        return build_geometry(_copy_parts(gb), empty_dim)
+    if b.dim < 0:
+        if op == INTERSECTION:
+            return build_geometry([], empty_dim)
+        return build_geometry(_copy_parts(ga), empty_dim)
+
+    emap, raw, node_points = _collect_edges(a, b)
+
+    polys: list[Geom] = []
+    line_parts: list[np.ndarray] = []
+    point_parts: list[tuple[float, float]] = []
+
+    has_area = a.areas or b.areas
+    if a.areas and b.areas:
+        directed, resid_lines = _select_area_edges(emap, op)
+        rings = _assemble_rings(directed)
+        polys = _rings_to_polygons(rings)
+        covered = _coverage_of(polys)
+        if op == INTERSECTION:
+            resid_keys = {
+                _edge_key(u, v) for u, v in resid_lines
+                if not _seg_covered((u, v), covered)
+            }
+            line_parts.extend(
+                _assemble_lines(raw, node_points, lambda k: k in resid_keys)
+            )
+            point_parts.extend(_touch_points(emap, a, b, polys, line_parts))
+    elif has_area:
+        # exactly one side has areas: mixed-dimension rules
+        a_is_area = bool(a.areas)
+        polys, line_parts, point_parts = _mixed_overlay(
+            emap, raw, node_points, a, b, a_is_area, op
+        )
+    else:
+        polys, line_parts, point_parts = _lineal_overlay(
+            emap, raw, node_points, a, b, op
+        )
+
+    parts: list[Geom] = list(polys)
+    parts.extend(Geom(LINESTRING, coords=l) for l in line_parts if len(l) >= 2)
+    parts.extend(
+        Geom(POINT, coords=np.array([[x, y]], dtype=np.float64)) for x, y in point_parts
+    )
+    # isolated input points participate in every op
+    parts.extend(_point_results(a, b, op, parts))
+    return build_geometry(parts, empty_dim)
+
+
+def _copy_parts(g: Geom) -> list[Geom]:
+    return [p for p in g.flatten()]
+
+
+def _coverage_of(polys: list[Geom]):
+    return [PreparedPolygon(p) for p in polys]
+
+
+def _seg_covered(seg, coverage) -> bool:
+    mx = (seg[0][0] + seg[1][0]) * 0.5
+    my = (seg[0][1] + seg[1][1]) * 0.5
+    for pp in coverage:
+        if int(pp.locate(np.array([mx]), np.array([my]))[0]) != EXTERIOR:
+            return True
+    return False
+
+
+def _touch_points(emap, a, b, polys, line_parts):
+    """Isolated boundary-touch nodes for area×area intersection."""
+    # nodes where both boundaries pass but no result edge/line covers
+    node_sides: dict[tuple, set] = {}
+    for e in emap.values():
+        for n in (e.u, e.v):
+            s = node_sides.setdefault(n, set())
+            if e.a_dir:
+                s.add("a")
+            if e.b_dir:
+                s.add("b")
+    cand = [n for n, s in node_sides.items() if {"a", "b"} <= s]
+    cover = _coverage_of(polys)
+    out = []
+    for n in cand:
+        x, y = n
+        covered = any(
+            int(pp.locate(np.array([x]), np.array([y]))[0]) != EXTERIOR for pp in cover
+        )
+        if not covered:
+            covered = any(_on_polyline(x, y, l) for l in line_parts)
+        if not covered:
+            out.append(n)
+    return sorted(set(out))
+
+
+def _rebuilt_areas(raw, inp: _Input, side: int, offset: int) -> list[Geom]:
+    """Reconstruct the pass-through area side from its NODED ring chains —
+    OverlayNG retains the noding vertices in unchanged-area results."""
+    ring_verts: dict[int, list] = {}
+    for u, v, s, kind, ci in raw:
+        if s != side or kind != "ring":
+            continue
+        lst = ring_verts.setdefault(ci, [])
+        if not lst:
+            lst.append(u)
+        lst.append(v)
+    polys: dict[int, dict[int, np.ndarray]] = {}
+    for ci, verts in ring_verts.items():
+        _kind, poly_idx, ring_idx = inp.chain_meta[ci - offset]
+        polys.setdefault(poly_idx, {})[ring_idx] = np.array(verts, dtype=np.float64)
+    out = []
+    for poly_idx in sorted(polys):
+        rings = [polys[poly_idx][ri] for ri in sorted(polys[poly_idx])]
+        out.append(Geom(POLYGON, rings=rings))
+    return out
+
+
+def _mixed_overlay(emap, raw, node_points, a: _Input, b: _Input,
+                   a_is_area: bool, op: str):
+    """One side areal, other lineal: per-op piece selection."""
+    polys: list[Geom] = []
+    line_parts: list[np.ndarray] = []
+    point_parts: list[tuple[float, float]] = []
+    area_in = a if a_is_area else b
+    area_side = 0 if a_is_area else 1
+    area_offset = 0 if a_is_area else len(a.chains)
+
+    def area_polys():
+        return _rebuilt_areas(raw, area_in, area_side, area_offset)
+
+    def line_loc(e: _Edge):
+        loc = e.loc_a if a_is_area else e.loc_b
+        if loc is None:
+            mx = (e.u[0] + e.v[0]) * 0.5
+            my = (e.u[1] + e.v[1]) * 0.5
+            loc = area_in.locate_areal(mx, my)
+        return loc
+
+    def selector(locs):
+        def want(key):
+            e = emap[key]
+            if not (e.b_line if a_is_area else e.a_line):
+                return False
+            return line_loc(e) in locs
+        return want
+
+    if op == INTERSECTION:
+        line_parts = _assemble_lines(raw, node_points, selector({INTERIOR, BOUNDARY}))
+        # isolated touch points: nodes on BOTH a line chain and the area
+        # boundary, not covered by any result line
+        line_side = 1 if a_is_area else 0
+        cand = set()
+        for u, v, s, kind, _ci in raw:
+            if s == line_side and kind == "line":
+                for n in (u, v):
+                    if n in node_points:
+                        cand.add(n)
+        for n in sorted(cand):
+            if area_in.locate_areal(n[0], n[1]) == EXTERIOR:
+                continue
+            if any(_on_polyline(n[0], n[1], l) for l in line_parts):
+                continue
+            point_parts.append(n)
+    elif op == UNION:
+        polys = area_polys()
+        line_parts = _assemble_lines(raw, node_points, selector({EXTERIOR}))
+    elif op == DIFFERENCE:
+        if a_is_area:
+            polys = area_polys()
+        else:
+            line_parts = _assemble_lines(raw, node_points, selector({EXTERIOR}))
+    else:  # SYMDIFFERENCE
+        polys = area_polys()
+        line_parts = _assemble_lines(raw, node_points, selector({EXTERIOR}))
+    return polys, line_parts, point_parts
+
+
+def _lineal_overlay(emap, raw, node_points, a: _Input, b: _Input, op: str):
+    """Both sides lineal (or puntal handled separately)."""
+    point_parts: list[tuple[float, float]] = []
+
+    def want(key):
+        e = emap[key]
+        on_a = e.a_line or e.a_dir
+        on_b = e.b_line or e.b_dir
+        return {
+            INTERSECTION: bool(on_a and on_b),
+            UNION: True,
+            DIFFERENCE: bool(on_a and not on_b),
+            SYMDIFFERENCE: bool(on_a) != bool(on_b),
+        }[op]
+
+    line_parts = _assemble_lines(raw, node_points, want)
+    if op == INTERSECTION:
+        # isolated crossing/touch points not covered by shared segments
+        nodes_a = set()
+        nodes_b = set()
+        for e in emap.values():
+            tgt = [nodes_a] if (e.a_line or e.a_dir) else []
+            if e.b_line or e.b_dir:
+                tgt.append(nodes_b)
+            for n in (e.u, e.v):
+                for t in tgt:
+                    t.add(n)
+        shared_nodes = nodes_a & nodes_b
+        for n in sorted(shared_nodes):
+            if not any(_on_polyline(n[0], n[1], l) for l in line_parts):
+                point_parts.append(n)
+    return [], line_parts, point_parts
+
+
+def _point_results(a: _Input, b: _Input, op: str, existing_parts) -> list[Geom]:
+    """Contributions of isolated point features."""
+    out = []
+
+    def covered_by_existing(x, y):
+        for p in existing_parts:
+            if p.gtype == POLYGON:
+                if int(PreparedPolygon(p).locate(np.array([x]), np.array([y]))[0]) != EXTERIOR:
+                    return True
+            elif p.gtype == LINESTRING and _on_polyline(x, y, p.coords):
+                return True
+            elif p.gtype == POINT and p.coords is not None and len(p.coords):
+                if p.coords[0, 0] == x and p.coords[0, 1] == y:
+                    return True
+        return False
+
+    for x, y in a.points:
+        loc_b = b.locate_full(x, y)
+        keep = {
+            INTERSECTION: loc_b != EXTERIOR and not (b.points and not b.chains and not b.areas),
+            UNION: True,
+            DIFFERENCE: loc_b == EXTERIOR,
+            SYMDIFFERENCE: loc_b == EXTERIOR,
+        }[op]
+        if op == INTERSECTION:
+            keep = loc_b != EXTERIOR
+        if keep and not covered_by_existing(x, y):
+            out.append(Geom(POINT, coords=np.array([[x, y]], dtype=np.float64)))
+    for x, y in b.points:
+        loc_a = a.locate_full(x, y)
+        keep = {
+            INTERSECTION: loc_a != EXTERIOR,
+            UNION: True,
+            DIFFERENCE: False,
+            SYMDIFFERENCE: loc_a == EXTERIOR,
+        }[op]
+        if keep and not covered_by_existing(x, y) and not any(
+            p.gtype == POINT and p.coords[0, 0] == x and p.coords[0, 1] == y for p in out
+        ):
+            out.append(Geom(POINT, coords=np.array([[x, y]], dtype=np.float64)))
+    return out

@@ -46,7 +46,18 @@ GENERAL = [
     "TestPreparedPolygonPredicate.xml", "TestPreparedPointPredicate.xml",
     "TestPreparedPredicatesWithGeometryCollection.xml",
     "TestSimple.xml", "TestDensify.xml", "TestSimplify.xml",
+    "TestOverlayAA.xml", "TestOverlayPA.xml", "TestOverlayPL.xml",
+    "TestOverlayPP.xml", "TestOverlayLA.xml", "TestOverlayLL.xml",
+    "TestOverlayEmpty.xml", "TestNGOverlayA.xml", "TestNGOverlayL.xml",
+    "TestNGOverlayP.xml", "TestNGOverlayEmpty.xml", "TestNGOverlayGC.xml",
 ]
+
+OVERLAY_OPS = {
+    "intersection": "intersection", "union": "union",
+    "difference": "difference", "symdifference": "symdifference",
+    "intersectionng": "intersection", "unionng": "union",
+    "differenceng": "difference", "symdifferenceng": "symdifference",
+}
 
 # cases whose expected output requires the buffer(0) ensure-valid repair
 # (pending the overlay kernel)
@@ -110,6 +121,11 @@ def run_op(c, op):
         from nettopologysuite_spark.kernels.densify import simplify_dp
 
         got = simplify_dp(g1, float(op.arg3))
+        return True, equals_normalized(got, wkt_loads(op.expected)), got
+    if op.op in OVERLAY_OPS and g2 is not None:
+        from nettopologysuite_spark.kernels.overlay import overlay
+
+        got = overlay(g1, g2, OVERLAY_OPS[op.op])
         return True, equals_normalized(got, wkt_loads(op.expected)), got
     return False, True, None
 
