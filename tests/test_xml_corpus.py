@@ -50,6 +50,7 @@ GENERAL = [
     "TestOverlayPP.xml", "TestOverlayLA.xml", "TestOverlayLL.xml",
     "TestOverlayEmpty.xml", "TestNGOverlayA.xml", "TestNGOverlayL.xml",
     "TestNGOverlayP.xml", "TestNGOverlayEmpty.xml", "TestNGOverlayGC.xml",
+    "TestUnaryUnion.xml", "TestUnaryUnionFloating.xml",
 ]
 
 OVERLAY_OPS = {
@@ -64,6 +65,9 @@ OVERLAY_OPS = {
 KNOWN_PENDING = {
     ("TestSimplify.xml#10", "simplifydp"),
     ("TestSimplify.xml#13", "simplifydp"),
+    # invalid-input robustness (OverlayNGRobust ladder, later round)
+    ("TestUnaryUnion.xml#11", "union"),
+    ("TestUnaryUnionFloating.xml#1", "union"),
 }
 VALIDATE = [p.name for p in sorted((CORPUS / "validate").glob("*.xml"))]
 
@@ -121,6 +125,11 @@ def run_op(c, op):
         from nettopologysuite_spark.kernels.densify import simplify_dp
 
         got = simplify_dp(g1, float(op.arg3))
+        return True, equals_normalized(got, wkt_loads(op.expected)), got
+    if op.op == "union" and g2 is None:
+        from nettopologysuite_spark.kernels.union_op import unary_union
+
+        got = unary_union(g1)
         return True, equals_normalized(got, wkt_loads(op.expected)), got
     if op.op in OVERLAY_OPS and g2 is not None:
         from nettopologysuite_spark.kernels.overlay import overlay
