@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -172,7 +173,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embeddings table (ANN baseline)."""
     import numpy as np
-    import pandas as pd
+
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qrows = (
@@ -222,6 +223,103 @@ def q_knn_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed cascaded union of the (disjoint) nation rectangles;
+    output count + exact union area (oracle: sum of rectangle areas)."""
+
+
+    from nettopologysuite_spark.engine.aggregates import distributed_union
+    from nettopologysuite_spark.kernels.geom import wkb_dumps, wkb_loads
+    from nettopologysuite_spark.kernels.measures import area as geom_area
+
+    keys = _nation_keys(spark, sf_dir)
+    rows = [(k, wkb_dumps(nation_rect_geom(k))) for k in keys]
+    df = spark.createDataFrame(rows, "k long, geom_wkb binary").repartition(8)
+    u = distributed_union(df)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _area(wkb: pd.Series) -> pd.Series:
+        return pd.Series([geom_area(wkb_loads(bytes(b))) for b in wkb])
+
+    return u.select(
+        F.lit(len(keys)).cast("long").alias("n_polys"),
+        _area(F.col("union_wkb")).alias("total_area"),
+    )
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nettopologysuite_spark.engine.zonal import synthetic_raster, zonal_stats
+
+    pack = _rect_pack(_nation_keys(spark, sf_dir))
+    px = synthetic_raster(spark, n=128)
+    return zonal_stats(px, pack, GRID)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nettopologysuite_spark.engine.dedup import blocked_pairs, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, blocked_pairs(docs))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nettopologysuite_spark.engine.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, threshold_pct=55)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nettopologysuite_spark.engine.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(docs)
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nettopologysuite_spark.engine.text import doc_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_quality(docs)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nettopologysuite_spark.engine.text import doc_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_fingerprint(docs)
+
+
+def q_hull_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed convex hull of the event points (hull-of-partition-hulls);
+    non-SQL-expressible → rows-only driver check + pytest kernel oracle."""
+
+
+    from nettopologysuite_spark.engine.aggregates import distributed_convex_hull
+    from nettopologysuite_spark.kernels.geom import wkb_loads, wkt_dumps
+
+    pts = _event_points(spark, sf_dir)
+    hull = distributed_convex_hull(pts)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _wkt(wkb: pd.Series) -> pd.Series:
+        return pd.Series([wkt_dumps(wkb_loads(bytes(b))) for b in wkb])
+
+    return hull.select(_wkt(F.col("hull_wkb")).alias("hull_wkt"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (xxhash64-based → rows-only driver check)."""
+    from nettopologysuite_spark.engine.dedup import simhash_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_fingerprints(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: interleaved-docs spatial join at sf0.001."""
     return q_docs_pip_join(spark, "/root/testdata/sf0.001")
@@ -241,6 +339,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
         "knn_embedding": q_knn_embedding,
+        "union_area": q_union_area,
+        "zonal_stats": q_zonal_stats,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "lang_id": q_lang_id,
+        "doc_quality": q_doc_quality,
+        "fingerprint": q_fingerprint,
+        "hull_agg": q_hull_agg,
+        "simhash": q_simhash,
     }
 
 
@@ -254,6 +361,75 @@ _DOCPTS = "(" + points_sql("documents", "doc_id", "did") + ")"
 
 def _cell_sql(x: str, y: str, grid: Grid) -> str:
     return grid.sql_cell_expr(x, y)
+
+
+_LANG_MARKERS = {
+    "en": [" the ", " and "],
+    "de": [" der ", " und "],
+    "fr": [" le ", " et "],
+    "es": [" el ", " y "],
+}
+
+
+def _count_sql(col: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return (
+        f"CAST((LENGTH({col}) - LENGTH(REPLACE({col}, '{esc}', ''))) "
+        f"/ {len(needle)} AS BIGINT)"
+    )
+
+
+def _lang_scores_sql() -> dict[str, str]:
+    pt = "(' ' || text || ' ')"
+    return {
+        lang: "(" + " + ".join(_count_sql(pt, m) for m in ms) + ")"
+        for lang, ms in _LANG_MARKERS.items()
+    }
+
+
+def _grams_cte() -> str:
+    return (
+        "WITH g AS (SELECT DISTINCT d.doc_id, substr(d.text, i.i, 3) AS gram "
+        "FROM documents d JOIN generate_series(1, 1000) i(i) "
+        "ON i.i <= GREATEST(LENGTH(d.text) - 2, 1)), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1)"
+    )
+
+
+def _lang_id_oracle() -> str:
+    scores = _lang_scores_sql()
+    langs = list(_LANG_MARKERS)
+    # mirror the engine's strict-> argmax chain exactly
+    case = f"'{langs[0]}'"
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        case = f"CASE WHEN {scores[lang]} > {best} THEN '{lang}' ELSE {case} END"
+        best = f"CASE WHEN {scores[lang]} > {best} THEN {scores[lang]} ELSE {best} END"
+    total = " + ".join(scores[l] for l in langs)
+    sel = ", ".join(f"{scores[l]} AS sc_{l}" for l in langs)
+    return (
+        f"SELECT doc_id, {sel}, "
+        f"CASE WHEN ({total}) = 0 THEN 'und' ELSE {case} END AS lang_pred "
+        f"FROM documents"
+    )
+
+
+def _doc_quality_oracle() -> str:
+    pt = "(' ' || text || ' ')"
+    n_stop = " + ".join(
+        _count_sql(pt, m) for ms in _LANG_MARKERS.values() for m in ms
+    )
+    n_tokens = (
+        "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+        "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END"
+    )
+    n_punct = "(LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;]', '', 'g')))"
+    return (
+        f"SELECT doc_id, LENGTH(text) AS n_chars_m, {n_tokens} AS n_tokens, "
+        f"{n_punct} AS n_punct, ({n_stop}) AS n_stop, "
+        f"(({n_tokens}) * 1000 + ({n_stop}) * 10 - {n_punct}) AS quality_i "
+        f"FROM documents"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -315,6 +491,54 @@ def oracle_sql() -> dict[str, str]:
             "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens, "
             "LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;]', '', 'g')) AS n_punct "
             "FROM documents"
+        ),
+        "union_area": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_polys, "
+            "CAST(SUM(4 * (3 + n_nationkey % 4) * (2 + n_nationkey % 3)) AS DOUBLE) "
+            "AS total_area FROM nation"
+        ),
+        "zonal_stats": (
+            # pixel grid 128×128 over [0,100)²; center-in-rectangle join
+            f"WITH px AS (SELECT CAST(t.i % 128 AS BIGINT) AS ix, "
+            f"CAST(FLOOR(t.i / 128) AS BIGINT) AS iy FROM generate_series(0, 16383) t(i)), "
+            f"p AS (SELECT ix, iy, (CAST(ix AS DOUBLE) + {derive.sql_double(0.5)}) * {derive.sql_double(100.0 / 128)} AS x, "
+            f"(CAST(iy AS DOUBLE) + {derive.sql_double(0.5)}) * {derive.sql_double(100.0 / 128)} AS y, "
+            f"(ix * 31 + iy * 17) % 97 AS value FROM px) "
+            f"SELECT 'rect-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id, "
+            f"COUNT(*) AS n_px, SUM(p.value) AS sum_v, "
+            f"CAST(SUM(p.value) AS DOUBLE) / COUNT(*) AS mean_v "
+            f"FROM p CROSS JOIN nation n WHERE {nation_rect_sql_pred('p.x', 'p.y', 'n.n_nationkey')} "
+            f"GROUP BY 1"
+        ),
+        "ngram_jaccard": (
+            _grams_cte() + ", pairs AS ("
+            "SELECT a.doc_id AS d1, b.doc_id AS d2 FROM documents a JOIN documents b "
+            "ON a.source = b.source AND a.doc_id < b.doc_id "
+            "AND ABS(a.n_chars - b.n_chars) <= 3), "
+            "inter AS (SELECT p.d1, p.d2, COUNT(*) AS ni FROM pairs p "
+            "JOIN g g1 ON g1.doc_id = p.d1 JOIN g g2 ON g2.doc_id = p.d2 "
+            "AND g1.gram = g2.gram GROUP BY 1, 2) "
+            "SELECT p.d1, p.d2, CAST(COALESCE(i.ni, 0) AS BIGINT) AS ni, "
+            "CAST(s1.n + s2.n - COALESCE(i.ni, 0) AS BIGINT) AS nu "
+            "FROM pairs p LEFT JOIN inter i ON i.d1 = p.d1 AND i.d2 = p.d2 "
+            "JOIN sizes s1 ON s1.doc_id = p.d1 JOIN sizes s2 ON s2.doc_id = p.d2"
+        ),
+        "minhash_lsh": (
+            _grams_cte() + ", inter AS ("
+            "SELECT g1.doc_id AS d1, g2.doc_id AS d2, COUNT(*) AS ni "
+            "FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT i.d1, i.d2, CAST(i.ni AS BIGINT) AS ni, "
+            "CAST(s1.n + s2.n - i.ni AS BIGINT) AS nu "
+            "FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1 "
+            "JOIN sizes s2 ON s2.doc_id = i.d2 "
+            "WHERE i.ni * 100 >= (s1.n + s2.n - i.ni) * 55"
+        ),
+        "lang_id": _lang_id_oracle(),
+        "doc_quality": _doc_quality_oracle(),
+        "fingerprint": (
+            "SELECT doc_id, md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) "
+            "AS fingerprint FROM documents"
         ),
         "knn_embedding": (
             # quantized-integer cosine (see q_knn_embedding): every sum is an

