@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_BENCH_DOCS = int(os.environ.get("NTS_BENCH_DOCS", "4000000"))
+N_BENCH_DOCS = int(os.environ.get("NTS_BENCH_DOCS", "2500000"))
 SKIP_SCALING = os.environ.get("NTS_BENCH_SKIP_SCALING", "") == "1"
 
 
@@ -86,7 +86,7 @@ def run_scaling_probe() -> dict:
     from nettopologysuite_spark.engine.session import get_spark
 
     results = {}
-    for cores in (SCALE_N, SCALE_4N, 8, 16, 32):
+    for cores in (SCALE_N, SCALE_4N, 32):
         if cores in results:
             continue
         spark = get_spark(master=f"local[{cores}]", shuffle_partitions=max(cores, 2))

@@ -233,9 +233,20 @@ def _maybe_empty(sc: _WktScanner) -> bool:
 
 def _read_geom(sc: _WktScanner) -> Geom:
     kw = sc.take_word()
+    is_ring = kw == "LINEARRING"
+    if is_ring:
+        kw = "LINESTRING"
     if kw not in _NAME_TYPES:
         raise ValueError(f"unknown WKT keyword {kw!r}")
     gtype = _NAME_TYPES[kw]
+    if is_ring:
+        extra = _read_dim_flags(sc)
+        if _maybe_empty(sc):
+            g = Geom(LINESTRING, coords=np.empty((0, 2), dtype=np.float64))
+        else:
+            g = Geom(LINESTRING, coords=_read_coords(sc, extra))
+        g.is_ring = True  # validity rules differ for LinearRing
+        return g
     extra = _read_dim_flags(sc)
     if _maybe_empty(sc):
         if gtype in (POINT, LINESTRING):

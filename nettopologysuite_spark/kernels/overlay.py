@@ -68,56 +68,72 @@ def _line_intersection_exact(p1, p2, q1, q2):
 
 
 def _seg_intersection(p1, p2, q1, q2):
-    """('none'|'point'|'overlap', payload).
+    """('none'|'point'|'overlap', payload) — exact-orientation classified
+    (RobustLineIntersector case structure with an exact-arithmetic filter).
 
-    point → (x, y) preferring exact endpoint coordinates;
+    point → ((x, y), t) preferring exact endpoint coordinates;
     overlap → ((t0, pt0), (t1, pt1)) along p with exact coordinates.
     """
-    px, py = p1
-    dx, dy = p2[0] - px, p2[1] - py
-    qx, qy = q1
-    ex, ey = q2[0] - qx, q2[1] - qy
-    denom = dx * ey - dy * ex
-    wx, wy = qx - px, qy - py
-    if denom != 0.0:
-        t = (wx * ey - wy * ex) / denom
-        u = (wx * dy - wy * dx) / denom
-        if not (0.0 <= t <= 1.0 and 0.0 <= u <= 1.0):
+    from .orientation import orient_index
+
+    d1 = orient_index(q1[0], q1[1], q2[0], q2[1], p1[0], p1[1])
+    d2 = orient_index(q1[0], q1[1], q2[0], q2[1], p2[0], p2[1])
+    if (d1 > 0 and d2 > 0) or (d1 < 0 and d2 < 0):
+        return "none", None
+    d3 = orient_index(p1[0], p1[1], p2[0], p2[1], q1[0], q1[1])
+    d4 = orient_index(p1[0], p1[1], p2[0], p2[1], q2[0], q2[1])
+    if (d3 > 0 and d4 > 0) or (d3 < 0 and d4 < 0):
+        return "none", None
+
+    def in_bbox(pt, a, b) -> bool:
+        return (
+            min(a[0], b[0]) <= pt[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= pt[1] <= max(a[1], b[1])
+        )
+
+    if d1 == 0 and d2 == 0:
+        # collinear (degenerate segments included): project q onto p
+        px, py = p1
+        dx, dy = p2[0] - px, p2[1] - py
+        ll = dx * dx + dy * dy
+        if ll == 0.0:
+            # p degenerate: point-on-q test
+            if d3 == 0 and in_bbox(p1, q1, q2):
+                return "point", (p1, 0.0)
             return "none", None
-        if t == 0.0:
-            return "point", (p1, 0.0)
-        if t == 1.0:
-            return "point", (p2, 1.0)
-        if u == 0.0:
-            # exact parameter of q1 along p
-            tq = _param_on_segment(q1, p1, p2)
-            return "point", (q1, tq)
-        if u == 1.0:
-            tq = _param_on_segment(q2, p1, p2)
-            return "point", (q2, tq)
-        pt = _line_intersection_exact(p1, p2, q1, q2)
-        if pt is None:
+        t0 = ((q1[0] - px) * dx + (q1[1] - py) * dy) / ll
+        t1 = ((q2[0] - px) * dx + (q2[1] - py) * dy) / ll
+        ents = sorted(((t0, q1), (t1, q2)))
+        lo_t, lo_p = ents[0]
+        hi_t, hi_p = ents[1]
+        if lo_t < 0.0:
+            lo_t, lo_p = 0.0, p1
+        if hi_t > 1.0:
+            hi_t, hi_p = 1.0, p2
+        if lo_t > hi_t:
             return "none", None
-        return "point", (pt, t)
-    if wx * dy - wy * dx != 0.0:
+        if lo_t == hi_t:
+            return "point", (lo_p, lo_t)
+        return "overlap", ((lo_t, lo_p), (hi_t, hi_p))
+
+    # endpoint touches (exact: the zero-orientation endpoint must lie in the
+    # other segment's bbox)
+    if d1 == 0 and in_bbox(p1, q1, q2):
+        return "point", (p1, 0.0)
+    if d2 == 0 and in_bbox(p2, q1, q2):
+        return "point", (p2, 1.0)
+    if d3 == 0 and in_bbox(q1, p1, p2):
+        return "point", (q1, _param_on_segment(q1, p1, p2))
+    if d4 == 0 and in_bbox(q2, p1, p2):
+        return "point", (q2, _param_on_segment(q2, p1, p2))
+    if d1 == 0 or d2 == 0 or d3 == 0 or d4 == 0:
+        return "none", None  # zero-orientation endpoint outside the segment
+
+    # proper crossing (d1*d2 < 0 and d3*d4 < 0)
+    pt = _line_intersection_exact(p1, p2, q1, q2)
+    if pt is None:
         return "none", None
-    ll = dx * dx + dy * dy
-    if ll == 0.0:
-        return "none", None
-    t0 = ((q1[0] - px) * dx + (q1[1] - py) * dy) / ll
-    t1 = ((q2[0] - px) * dx + (q2[1] - py) * dy) / ll
-    ents = sorted(((t0, q1), (t1, q2)))
-    lo_t, lo_p = ents[0]
-    hi_t, hi_p = ents[1]
-    if lo_t < 0.0:
-        lo_t, lo_p = 0.0, p1
-    if hi_t > 1.0:
-        hi_t, hi_p = 1.0, p2
-    if lo_t > hi_t:
-        return "none", None
-    if lo_t == hi_t:
-        return "point", (lo_p, lo_t)
-    return "overlap", ((lo_t, lo_p), (hi_t, hi_p))
+    return "point", (pt, _param_on_segment(pt, p1, p2))
 
 
 def _param_on_segment(pt, p1, p2) -> float:

@@ -51,7 +51,10 @@ GENERAL = [
     "TestOverlayEmpty.xml", "TestNGOverlayA.xml", "TestNGOverlayL.xml",
     "TestNGOverlayP.xml", "TestNGOverlayEmpty.xml", "TestNGOverlayGC.xml",
     "TestUnaryUnion.xml", "TestUnaryUnionFloating.xml",
+    "TestValid.xml", "TestValid2.xml", "TestValid2-big.xml",
 ]
+
+MISC = ["TestValid.xml", "TestInvalidA.xml"]
 
 OVERLAY_OPS = {
     "intersection": "intersection", "union": "union",
@@ -126,6 +129,11 @@ def run_op(c, op):
 
         got = simplify_dp(g1, float(op.arg3))
         return True, equals_normalized(got, wkt_loads(op.expected)), got
+    if op.op == "isvalid":
+        from nettopologysuite_spark.kernels.valid import is_valid
+
+        got = is_valid(g1)
+        return True, got == expected_bool(op.expected), got
     if op.op == "union" and g2 is None:
         from nettopologysuite_spark.kernels.union_op import unary_union
 
@@ -160,6 +168,13 @@ def run_suite(suite: str, fname: str):
 @pytest.mark.parametrize("fname", GENERAL)
 def test_general_suite(fname):
     total, passed, fails = run_suite("general", fname)
+    assert total > 0
+    assert passed == total, fails[:5]
+
+
+@pytest.mark.parametrize("fname", MISC)
+def test_misc_suite(fname):
+    total, passed, fails = run_suite("misc", fname)
     assert total > 0
     assert passed == total, fails[:5]
 
