@@ -268,7 +268,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nettopologysuite_spark.engine.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, threshold_pct=55)
+    return minhash_lsh_pairs(docs, threshold_pct=80)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,15 +524,22 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes s1 ON s1.doc_id = p.d1 JOIN sizes s2 ON s2.doc_id = p.d2"
         ),
         "minhash_lsh": (
-            _grams_cte() + ", inter AS ("
-            "SELECT g1.doc_id AS d1, g2.doc_id AS d2, COUNT(*) AS ni "
+            # brute-force word-bigram jaccard ≥ 0.8 (integer arithmetic)
+            "WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ws "
+            "FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, CASE WHEN LEN(ws) < 2 THEN ws[1] "
+            "ELSE ws[i.i] || ' ' || ws[i.i + 1] END AS gram "
+            "FROM w JOIN generate_series(1, 1000) i(i) "
+            "ON i.i <= GREATEST(LEN(ws) - 1, 1)), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1), "
+            "inter AS (SELECT g1.doc_id AS d1, g2.doc_id AS d2, COUNT(*) AS ni "
             "FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id "
             "GROUP BY 1, 2) "
             "SELECT i.d1, i.d2, CAST(i.ni AS BIGINT) AS ni, "
             "CAST(s1.n + s2.n - i.ni AS BIGINT) AS nu "
             "FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1 "
             "JOIN sizes s2 ON s2.doc_id = i.d2 "
-            "WHERE i.ni * 100 >= (s1.n + s2.n - i.ni) * 55"
+            "WHERE i.ni * 100 >= (s1.n + s2.n - i.ni) * 80"
         ),
         "lang_id": _lang_id_oracle(),
         "doc_quality": _doc_quality_oracle(),

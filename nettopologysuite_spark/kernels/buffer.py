@@ -1,0 +1,265 @@
+"""Buffer (Operation/Buffer/BufferOp.cs semantics, tolerance-matched).
+
+Point-set definition: buffer(g, d) = { p : dist(p, g) ≤ d } — realized as
+the union of per-segment capsules (segment ⊕ disc) and per-point discs,
+with arcs discretized at the reference's fillet quantum (π/2 / quadSegs,
+``BufferParameters.cs:28`` default 8), plus the input area itself; negative
+distances erode via difference. buffer(0) = valid-area rebuild (even-odd
+face extraction over self-noded rings — the classic buffer-0 fix).
+
+The reference's own test runner matches buffer results by relative
+symmetric-difference area (< 1e-3) and boundary Hausdorff distance
+(< |d|/100) — ``test/NetTopologySuite.TestRunner/Result/BufferResultMatcher
+.cs:43-105`` — which this construction satisfies when using the same arc
+discretization.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .geom import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geom,
+    polygon as mk_polygon,
+)
+from .measures import point_segment_dist2
+from .overlay import _assemble_rings, _edge_key, _seg_intersection, build_geometry, overlay
+from .pip import EXTERIOR, INTERIOR, PreparedPolygon
+from .union_op import cascaded_union
+
+
+def _arc_points(cx, cy, r, a0, a1, quantum) -> list[tuple[float, float]]:
+    """Clockwise arc from angle a0 down to a1 (a0 > a1), exclusive ends."""
+    pts = []
+    a = a0 - quantum
+    while a > a1 + 1e-12:
+        pts.append((cx + r * math.cos(a), cy + r * math.sin(a)))
+        a -= quantum
+    return pts
+
+
+def _circle(cx, cy, r, quad_segs) -> Geom:
+    n = 4 * quad_segs
+    ang = [2.0 * math.pi * k / n for k in range(n)]
+    ring = [(cx + r * math.cos(a), cy + r * math.sin(a)) for a in ang]
+    return mk_polygon(np.array(ring))
+
+
+def _capsule(p0, p1, r, quad_segs) -> Geom:
+    dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+    ll = math.hypot(dx, dy)
+    if ll == 0.0:
+        return _circle(p0[0], p0[1], r, quad_segs)
+    ux, uy = dx / ll, dy / ll
+    nx, ny = -uy, ux
+    quantum = (math.pi / 2.0) / quad_segs
+    theta_n = math.atan2(ny, nx)
+    ring: list[tuple[float, float]] = []
+    ring.append((p0[0] + nx * r, p0[1] + ny * r))
+    ring.append((p1[0] + nx * r, p1[1] + ny * r))
+    ring.extend(_arc_points(p1[0], p1[1], r, theta_n, theta_n - math.pi, quantum))
+    ring.append((p1[0] - nx * r, p1[1] - ny * r))
+    ring.append((p0[0] - nx * r, p0[1] - ny * r))
+    ring.extend(
+        _arc_points(p0[0], p0[1], r, theta_n - math.pi, theta_n - 2 * math.pi, quantum)
+    )
+    return mk_polygon(np.array(ring))
+
+
+def _all_segments(g: Geom):
+    segs = []
+    for leaf in g.flatten():
+        if leaf.gtype == LINESTRING and len(leaf.coords) >= 2:
+            c = leaf.coords
+            segs.extend(
+                ((float(c[i, 0]), float(c[i, 1])), (float(c[i + 1, 0]), float(c[i + 1, 1])))
+                for i in range(len(c) - 1)
+            )
+        elif leaf.gtype == POLYGON:
+            for r in leaf.rings:
+                segs.extend(
+                    ((float(r[i, 0]), float(r[i, 1])), (float(r[i + 1, 0]), float(r[i + 1, 1])))
+                    for i in range(len(r) - 1)
+                )
+    return segs
+
+
+# ---------------------------------------------------------------------------
+# valid-area rebuild (buffer(0) / ensure-valid)
+# ---------------------------------------------------------------------------
+
+class _ChainShim:
+    def __init__(self, chains):
+        self.chains = chains
+        self.points = []
+
+
+def make_valid_area(g: Geom) -> Geom:
+    """Rebuild a (possibly self-intersecting) polygonal geometry as a valid
+    area using the even-odd rule: self-node all rings, walk minimal faces,
+    keep faces whose interior has odd crossing parity, union them."""
+    from .overlay import _node_chains
+
+    rings = []
+    for leaf in g.flatten():
+        if leaf.gtype == POLYGON:
+            rings.extend(r for r in leaf.rings if len(r) >= 4)
+    if not rings:
+        return Geom(POLYGON)
+    # treat rings as self-noding 'line' chains
+    shim = _ChainShim([(r, "line") for r in rings])
+    raw, _nodes = _node_chains([(0, shim)])
+    directed = []
+    for u, v, _s, _k, _ci in raw:
+        directed.append((u, v))
+        directed.append((v, u))
+    faces = _assemble_rings(directed)
+    parity_prep = PreparedPolygon(Geom(POLYGON, rings=rings))
+    from .orientation import is_ccw
+    from .predicates import interior_point
+
+    kept = []
+    for f in faces:
+        if not is_ccw(f):
+            continue  # outer/unbounded or hole-side trace
+        ip = interior_point(Geom(POLYGON, rings=[f]))
+        if ip is None:
+            continue
+        loc = int(parity_prep.locate(np.array([ip[0]]), np.array([ip[1]]))[0])
+        if loc == INTERIOR:
+            kept.append(Geom(POLYGON, rings=[f]))
+    if not kept:
+        return Geom(POLYGON)
+    return cascaded_union(kept)
+
+
+# ---------------------------------------------------------------------------
+# buffer
+# ---------------------------------------------------------------------------
+
+def buffer(g: Geom, dist: float, quad_segs: int = 8) -> Geom:
+    if g.is_empty:
+        return Geom(POLYGON)
+    has_area = any(l.gtype == POLYGON for l in g.flatten())
+    if dist == 0.0:
+        return make_valid_area(g) if has_area else Geom(POLYGON)
+    if dist < 0.0:
+        if not has_area:
+            return Geom(POLYGON)
+        area = make_valid_area(g)
+        if area.is_empty:
+            return Geom(POLYGON)
+        capsules = [
+            _capsule(p0, p1, -dist, quad_segs) for p0, p1 in _all_segments(area)
+        ]
+        eroded = overlay(area, cascaded_union(capsules), "difference")
+        return eroded if not eroded.is_empty else Geom(POLYGON)
+
+    pieces: list[Geom] = []
+    if has_area:
+        va = make_valid_area(g)
+        if not va.is_empty:
+            pieces.append(va)
+        pieces.extend(_capsule(p0, p1, dist, quad_segs) for p0, p1 in _all_segments(va))
+    # non-area components buffer from their own linework/points
+    for leaf in g.flatten():
+        if leaf.gtype == LINESTRING and len(leaf.coords) >= 1:
+            if len(leaf.coords) == 1:
+                pieces.append(_circle(float(leaf.coords[0, 0]), float(leaf.coords[0, 1]), dist, quad_segs))
+            else:
+                segs = _all_segments(leaf)
+                pieces.extend(_capsule(p0, p1, dist, quad_segs) for p0, p1 in segs)
+        elif leaf.gtype == POINT and not leaf.is_empty:
+            pieces.append(
+                _circle(float(leaf.coords[0, 0]), float(leaf.coords[0, 1]), dist, quad_segs)
+            )
+    if not pieces:
+        return Geom(POLYGON)
+    return cascaded_union(pieces)
+
+
+# ---------------------------------------------------------------------------
+# discrete Hausdorff distance (Algorithm/Distance/DiscreteHausdorffDistance.cs)
+# ---------------------------------------------------------------------------
+
+def _points_of(g: Geom, densify_frac: float | None) -> np.ndarray:
+    pts = [g.all_coords()]
+    if densify_frac:
+        n_sub = int(round(1.0 / densify_frac))
+        for p0, p1 in _all_segments(g):
+            for k in range(1, n_sub):
+                t = k * densify_frac
+                pts.append(
+                    np.array([[p0[0] + t * (p1[0] - p0[0]), p0[1] + t * (p1[1] - p0[1])]])
+                )
+    return np.concatenate([p for p in pts if len(p)], axis=0)
+
+
+def _point_to_geom_dist(pts: np.ndarray, g: Geom) -> np.ndarray:
+    segs = _all_segments(g)
+    out = np.full(len(pts), np.inf)
+    if segs:
+        a = np.array([s[0] for s in segs])
+        b = np.array([s[1] for s in segs])
+        d2 = point_segment_dist2(
+            pts[:, 0][:, None], pts[:, 1][:, None],
+            a[:, 0][None, :], a[:, 1][None, :], b[:, 0][None, :], b[:, 1][None, :],
+        )
+        out = np.sqrt(d2.min(axis=1))
+    gc = g.all_coords()
+    if len(gc):
+        dx = pts[:, 0][:, None] - gc[None, :, 0]
+        dy = pts[:, 1][:, None] - gc[None, :, 1]
+        out = np.minimum(out, np.sqrt((dx * dx + dy * dy).min(axis=1)))
+    return out
+
+
+def discrete_hausdorff(a: Geom, b: Geom, densify_frac: float | None = None) -> float:
+    """Symmetric discrete Hausdorff distance over vertices (+ densified)."""
+    if a.is_empty or b.is_empty:
+        return 0.0
+    pa = _points_of(a, densify_frac)
+    pb = _points_of(b, densify_frac)
+    d_ab = float(_point_to_geom_dist(pa, b).max()) if len(pa) else 0.0
+    d_ba = float(_point_to_geom_dist(pb, a).max()) if len(pb) else 0.0
+    return max(d_ab, d_ba)
+
+
+def oriented_hausdorff(a: Geom, b: Geom, densify_frac: float | None = None) -> float:
+    if a.is_empty or b.is_empty:
+        return 0.0
+    pa = _points_of(a, densify_frac)
+    return float(_point_to_geom_dist(pa, b).max()) if len(pa) else 0.0
+
+
+# ---------------------------------------------------------------------------
+# the reference runner's buffer matcher (BufferResultMatcher.cs)
+# ---------------------------------------------------------------------------
+
+def buffer_result_match(actual: Geom, expected: Geom, dist: float) -> bool:
+    from .boundary import boundary as boundary_op
+    from .measures import area as geom_area
+
+    if actual.is_empty and expected.is_empty:
+        return True
+    if actual.is_empty != expected.is_empty:
+        return False
+    exp_area = geom_area(expected)
+    diff = overlay(actual, expected, "symdifference")
+    area_diff = geom_area(diff)
+    if area_diff > 0.0:
+        frac = area_diff / exp_area if exp_area > 0 else math.inf
+        if frac >= 1.0e-3:
+            return False
+    haus = oriented_hausdorff(
+        boundary_op(actual), boundary_op(expected), densify_frac=0.25
+    )
+    tol = max(abs(dist) / 100.0, 1.0e-8)
+    return haus <= tol

@@ -53,7 +53,7 @@ def test_minhash_lsh_finds_bruteforce_pairs(spark, sf_dir):
     got = {
         (r["d1"], r["d2"]) for r in minhash_lsh_pairs(docs, threshold_pct=60).collect()
     }
-    # brute force on the driver
+    # brute force (word bigrams) on the driver
     import duckdb
 
     con = duckdb.connect()
@@ -61,9 +61,11 @@ def test_minhash_lsh_finds_bruteforce_pairs(spark, sf_dir):
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
     )
     rows = con.execute(
-        "WITH g AS (SELECT DISTINCT d.doc_id, substr(d.text, i.i, 3) AS gram "
-        "FROM documents d JOIN generate_series(1, 1000) i(i) "
-        "ON i.i <= GREATEST(LENGTH(d.text)-2, 1)), "
+        "WITH w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') ws "
+        "FROM documents), "
+        "g AS (SELECT DISTINCT doc_id, CASE WHEN LEN(ws) < 2 THEN ws[1] "
+        "ELSE ws[i.i] || ' ' || ws[i.i+1] END AS gram "
+        "FROM w JOIN generate_series(1, 1000) i(i) ON i.i <= GREATEST(LEN(ws)-1, 1)), "
         "sizes AS (SELECT doc_id, COUNT(*) n FROM g GROUP BY 1), "
         "inter AS (SELECT g1.doc_id d1, g2.doc_id d2, COUNT(*) ni FROM g g1 "
         "JOIN g g2 ON g1.gram=g2.gram AND g1.doc_id<g2.doc_id GROUP BY 1,2) "
