@@ -45,11 +45,24 @@ def _arc_points(cx, cy, r, a0, a1, quantum) -> list[tuple[float, float]]:
     return pts
 
 
+_SNAP = 65536.0  # 2^16 vertex grid: collapses 1-ulp differences between
+# arcs sampled on the same circle from different capsules (JTS relies on
+# snap-rounding noding for the same reason); ~1.5e-5 absolute — far inside
+# the buffer matcher tolerances
+
+
+def _snap_ring(ring: np.ndarray) -> np.ndarray:
+    r = np.floor(ring * _SNAP + 0.5) / _SNAP
+    keep = np.ones(len(r), dtype=bool)
+    keep[1:] = (r[1:] != r[:-1]).any(axis=1)
+    return r[keep]
+
+
 def _circle(cx, cy, r, quad_segs) -> Geom:
     n = 4 * quad_segs
     ang = [2.0 * math.pi * k / n for k in range(n)]
     ring = [(cx + r * math.cos(a), cy + r * math.sin(a)) for a in ang]
-    return mk_polygon(np.array(ring))
+    return mk_polygon(_snap_ring(np.array(ring)))
 
 
 def _capsule(p0, p1, r, quad_segs) -> Geom:
@@ -70,7 +83,7 @@ def _capsule(p0, p1, r, quad_segs) -> Geom:
     ring.extend(
         _arc_points(p0[0], p0[1], r, theta_n - math.pi, theta_n - 2 * math.pi, quantum)
     )
-    return mk_polygon(np.array(ring))
+    return mk_polygon(_snap_ring(np.array(ring)))
 
 
 def _all_segments(g: Geom):
@@ -101,48 +114,80 @@ class _ChainShim:
         self.points = []
 
 
-def make_valid_area(g: Geom) -> Geom:
-    """Rebuild a (possibly self-intersecting) polygonal geometry as a valid
-    area using the even-odd rule: self-node all rings, walk minimal faces,
-    keep faces whose interior has odd crossing parity, union them."""
+def _ring_faces(ring: np.ndarray) -> list[Geom]:
+    """Decompose one (possibly self-intersecting) ring into simple CCW faces
+    with odd crossing parity (even-odd within the ring)."""
+    from .orientation import is_ccw
     from .overlay import _node_chains
+    from .predicates import interior_point
 
-    rings = []
-    for leaf in g.flatten():
-        if leaf.gtype == POLYGON:
-            rings.extend(r for r in leaf.rings if len(r) >= 4)
-    if not rings:
-        return Geom(POLYGON)
-    # treat rings as self-noding 'line' chains
-    shim = _ChainShim([(r, "line") for r in rings])
+    shim = _ChainShim([(ring, "line")])
     raw, _nodes = _node_chains([(0, shim)])
     directed = []
     for u, v, _s, _k, _ci in raw:
         directed.append((u, v))
         directed.append((v, u))
     faces = _assemble_rings(directed)
-    parity_prep = PreparedPolygon(Geom(POLYGON, rings=rings))
-    from .orientation import is_ccw
-    from .predicates import interior_point
-
+    parity_prep = PreparedPolygon(Geom(POLYGON, rings=[ring]))
     kept = []
     for f in faces:
         if not is_ccw(f):
-            continue  # outer/unbounded or hole-side trace
+            continue  # outer/unbounded trace
         ip = interior_point(Geom(POLYGON, rings=[f]))
         if ip is None:
             continue
         loc = int(parity_prep.locate(np.array([ip[0]]), np.array([ip[1]]))[0])
         if loc == INTERIOR:
             kept.append(Geom(POLYGON, rings=[f]))
-    if not kept:
+    return kept
+
+
+def make_valid_area(g: Geom) -> Geom:
+    """Rebuild a (possibly self-intersecting) polygonal geometry as a valid
+    area with buffer(0) semantics: each ring decomposes into simple faces
+    under the even-odd rule (a bowtie shell yields both wings), then
+    shell-ring areas union and hole-ring areas subtract — a hole poking
+    outside its shell removes nothing there."""
+    shell_faces: list[Geom] = []
+    hole_faces: list[Geom] = []
+    for leaf in g.flatten():
+        if leaf.gtype == POLYGON:
+            for ri, r in enumerate(leaf.rings):
+                if len(r) >= 4:
+                    (shell_faces if ri == 0 else hole_faces).extend(_ring_faces(r))
+    if not shell_faces:
         return Geom(POLYGON)
-    return cascaded_union(kept)
+    result = cascaded_union(shell_faces)
+    if hole_faces:
+        result = overlay(result, cascaded_union(hole_faces), "difference")
+    if result is None or result.is_empty:
+        return Geom(POLYGON)
+    return result
 
 
 # ---------------------------------------------------------------------------
 # buffer
 # ---------------------------------------------------------------------------
+
+def _drop_slivers(g: Geom, dist: float) -> Geom:
+    """Remove snap-grid artifacts: result parts / holes whose area is
+    negligible relative to the buffer distance (the discretization already
+    concedes ~1e-3 relative area; slivers are orders below that)."""
+    from .measures import _ring_signed_area2
+
+    eps = max(1.0e-6 * dist * dist, 1.0e-9)
+    parts = []
+    for leaf in g.flatten():
+        if leaf.gtype != POLYGON or not leaf.rings:
+            continue
+        if abs(_ring_signed_area2(leaf.rings[0])) / 2.0 < eps:
+            continue
+        rings = [leaf.rings[0]] + [
+            h for h in leaf.rings[1:] if abs(_ring_signed_area2(h)) / 2.0 >= eps
+        ]
+        parts.append(Geom(POLYGON, rings=rings))
+    return build_geometry(parts, 2)
+
 
 def buffer(g: Geom, dist: float, quad_segs: int = 8) -> Geom:
     if g.is_empty:
@@ -159,7 +204,9 @@ def buffer(g: Geom, dist: float, quad_segs: int = 8) -> Geom:
         capsules = [
             _capsule(p0, p1, -dist, quad_segs) for p0, p1 in _all_segments(area)
         ]
-        eroded = overlay(area, cascaded_union(capsules), "difference")
+        eroded = _drop_slivers(
+            overlay(area, cascaded_union(capsules), "difference"), dist
+        )
         return eroded if not eroded.is_empty else Geom(POLYGON)
 
     pieces: list[Geom] = []
@@ -167,22 +214,21 @@ def buffer(g: Geom, dist: float, quad_segs: int = 8) -> Geom:
         va = make_valid_area(g)
         if not va.is_empty:
             pieces.append(va)
-        pieces.extend(_capsule(p0, p1, dist, quad_segs) for p0, p1 in _all_segments(va))
-    # non-area components buffer from their own linework/points
+    # capsules over ALL original linework (incl. degenerate polygon rings
+    # whose valid area is empty — their boundary still buffers)
+    pieces.extend(_capsule(p0, p1, dist, quad_segs) for p0, p1 in _all_segments(g))
     for leaf in g.flatten():
-        if leaf.gtype == LINESTRING and len(leaf.coords) >= 1:
-            if len(leaf.coords) == 1:
-                pieces.append(_circle(float(leaf.coords[0, 0]), float(leaf.coords[0, 1]), dist, quad_segs))
-            else:
-                segs = _all_segments(leaf)
-                pieces.extend(_capsule(p0, p1, dist, quad_segs) for p0, p1 in segs)
-        elif leaf.gtype == POINT and not leaf.is_empty:
+        if leaf.gtype == POINT and not leaf.is_empty:
+            pieces.append(
+                _circle(float(leaf.coords[0, 0]), float(leaf.coords[0, 1]), dist, quad_segs)
+            )
+        elif leaf.gtype == LINESTRING and len(leaf.coords) == 1:
             pieces.append(
                 _circle(float(leaf.coords[0, 0]), float(leaf.coords[0, 1]), dist, quad_segs)
             )
     if not pieces:
         return Geom(POLYGON)
-    return cascaded_union(pieces)
+    return _drop_slivers(cascaded_union(pieces), dist)
 
 
 # ---------------------------------------------------------------------------

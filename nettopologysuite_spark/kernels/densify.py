@@ -124,9 +124,25 @@ def simplify_dp(g: Geom, tol: float) -> Geom:
                 rings.append(rr)
             elif i == 0:
                 return Geom(POLYGON)  # shell collapsed
-        return Geom(POLYGON, rings=rings)
+        return _ensure_valid_area(Geom(POLYGON, rings=rings))
     parts = [simplify_dp(p, tol) for p in g.parts if not p.is_empty]
     parts = [p for p in parts if not p.is_empty]
+    if g.gtype == MULTIPOLYGON:
+        merged = Geom(MULTIPOLYGON, parts=parts)
+        fixed = _ensure_valid_area(merged)
+        return fixed if fixed.gtype != MULTIPOLYGON or len(fixed.parts) != 1 else fixed.parts[0]
     if len(parts) == 1:
         return parts[0]  # GeometryTransformer BuildGeometry collapses singletons
     return Geom(g.gtype, parts=parts)
+
+
+def _ensure_valid_area(g: Geom) -> Geom:
+    """DPTransformer.CreateValidArea: repair invalid simplified areas with
+    the buffer(0) valid-area rebuild."""
+    from .valid import is_valid
+
+    if g.is_empty or is_valid(g):
+        return g
+    from .buffer import make_valid_area
+
+    return make_valid_area(g)

@@ -204,9 +204,13 @@ class _Input:
         self.dim = dim
 
     def locate_areal(self, x: float, y: float) -> int:
+        """EXACT point location against the areal components (ray crossing
+        with exact orientation signs). Overlay labels near-tangent
+        discretized boundaries whose pieces sit ~1e-10 apart — double
+        arithmetic misclassifies there and breaks edge-selection balance."""
         best = EXTERIOR
-        for pp in self.prepared:
-            loc = int(pp.locate(np.array([x]), np.array([y]))[0])
+        for a in self.areas:
+            loc = _locate_exact(x, y, a.rings)
             if loc == INTERIOR:
                 return INTERIOR
             if loc == BOUNDARY:
@@ -227,6 +231,35 @@ class _Input:
             if px == x and py == y:
                 return INTERIOR
         return loc
+
+
+def _locate_exact(px: float, py: float, rings) -> int:
+    """Exact even-odd ray crossing over ring segments (orientation signs via
+    rational-fallback orient_index; no floating intersection computed)."""
+    from .orientation import orient_index
+
+    crossings = 0
+    for r in rings:
+        n = len(r)
+        for i in range(n - 1):
+            x1, y1 = float(r[i, 0]), float(r[i, 1])
+            x2, y2 = float(r[i + 1, 0]), float(r[i + 1, 1])
+            # boundary check
+            if (
+                min(x1, x2) <= px <= max(x1, x2)
+                and min(y1, y2) <= py <= max(y1, y2)
+                and orient_index(x1, y1, x2, y2, px, py) == 0
+            ):
+                return BOUNDARY
+            # half-open crossing rule on y
+            if (y1 > py) != (y2 > py):
+                o = orient_index(x1, y1, x2, y2, px, py)
+                if y2 > y1:
+                    if o > 0:
+                        crossings += 1
+                elif o < 0:
+                    crossings += 1
+    return INTERIOR if crossings % 2 == 1 else EXTERIOR
 
 
 def _on_polyline(x, y, ln) -> bool:
@@ -264,6 +297,23 @@ def _node_chains(inputs: list[tuple[int, _Input]]):
         if 0.0 < t < 1.0:
             splits[ci].setdefault(si, set()).add((t, pt))
 
+    _SNAP_EPS2 = 1e-18  # hot-pixel snap: an exact crossing whose double
+    # rounding lands on (or within ~1e-9 of) another segment's vertex must
+    # split that segment there, or tangent topologies lose a crossing
+    # (SnappingNoder / HotPixel analog)
+
+    def snap_vertex_to_segment(ci, si, p1, p2, q):
+        dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+        ll = dx * dx + dy * dy
+        if ll == 0.0:
+            return
+        t = ((q[0] - p1[0]) * dx + (q[1] - p1[1]) * dy) / ll
+        if not (0.0 < t < 1.0):
+            return
+        cxp = dx * (q[1] - p1[1]) - dy * (q[0] - p1[0])
+        if cxp * cxp <= _SNAP_EPS2 * ll:
+            add_split(ci, si, t, q)
+
     for ci in range(len(chains)):
         si_pts = chains[ci][2]
         for cj in range(ci + 1, len(chains)):
@@ -290,6 +340,11 @@ def _node_chains(inputs: list[tuple[int, _Input]]):
                         for t, pt in payload:
                             add_split(ci, i, t, pt)
                             add_split(cj, j, _param_on_segment(pt, q1, q2), pt)
+                    # hot-pixel snaps (vertices lying ~on the other segment)
+                    snap_vertex_to_segment(ci, i, p1, p2, q1)
+                    snap_vertex_to_segment(ci, i, p1, p2, q2)
+                    snap_vertex_to_segment(cj, j, q1, q2, p1)
+                    snap_vertex_to_segment(cj, j, q1, q2, p2)
         # self-noding within the same chain (self-intersecting lines)
         side, knd, pts = chains[ci]
         if knd == "line":

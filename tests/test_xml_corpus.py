@@ -52,6 +52,7 @@ GENERAL = [
     "TestNGOverlayP.xml", "TestNGOverlayEmpty.xml", "TestNGOverlayGC.xml",
     "TestUnaryUnion.xml", "TestUnaryUnionFloating.xml",
     "TestValid.xml", "TestValid2.xml", "TestValid2-big.xml",
+    "TestBuffer.xml",
 ]
 
 MISC = ["TestValid.xml", "TestInvalidA.xml"]
@@ -66,8 +67,6 @@ OVERLAY_OPS = {
 # cases whose expected output requires the buffer(0) ensure-valid repair
 # (pending the overlay kernel)
 KNOWN_PENDING = {
-    ("TestSimplify.xml#10", "simplifydp"),
-    ("TestSimplify.xml#13", "simplifydp"),
     # invalid-input robustness (OverlayNGRobust ladder, later round)
     ("TestUnaryUnion.xml#11", "union"),
     ("TestUnaryUnionFloating.xml#1", "union"),
@@ -139,6 +138,12 @@ def run_op(c, op):
 
         got = unary_union(g1)
         return True, equals_normalized(got, wkt_loads(op.expected)), got
+    if op.op == "buffer":
+        from nettopologysuite_spark.kernels.buffer import buffer, buffer_result_match
+
+        dist = float(op.arg3)
+        got = buffer(g1, dist)
+        return True, buffer_result_match(got, wkt_loads(op.expected), dist), got
     if op.op in OVERLAY_OPS and g2 is not None:
         from nettopologysuite_spark.kernels.overlay import overlay
 
