@@ -98,6 +98,19 @@ def q_pip_convex_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pid", "poly_id")
 
 
+def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-handled sort-merge cell join (hot-cell salting); same result
+    set as the broadcast path — same oracle."""
+    from nettopologysuite_spark.engine.joins import pip_join_points_sortmerge
+
+    pts = _event_points(spark, sf_dir)
+    pack = _octagon_pack(_nation_keys(spark, sf_dir))
+    out = pip_join_points_sortmerge(
+        pts, pack, GRID, "covers", hot_cell_threshold=50, id_col="pid"
+    )
+    return out.select("pid", "poly_id")
+
+
 def q_within_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _event_points(spark, sf_dir)
     keys = _nation_keys(spark, sf_dir)
@@ -331,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_morton": q_tile_morton,
         "pip_rect_join": q_pip_rect_join,
         "pip_convex_join": q_pip_convex_join,
+        "pip_join_salted": q_pip_join_salted,
         "within_dist_join": q_within_dist_join,
         "knn_join": q_knn_join,
         "envelope_agg": q_envelope_agg,
@@ -448,6 +462,10 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {_PTS} p CROSS JOIN nation n WHERE {rect_pred}"
         ),
         "pip_convex_join": (
+            f"SELECT p.pid, 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
+            f"FROM {_PTS} p CROSS JOIN nation n WHERE {oct_pred}"
+        ),
+        "pip_join_salted": (
             f"SELECT p.pid, 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
             f"FROM {_PTS} p CROSS JOIN nation n WHERE {oct_pred}"
         ),

@@ -89,6 +89,59 @@ def pip_join_points(
     return cand.filter(pip_refine_udf(pack, predicate)(F.col(x), F.col(y), F.col("poly_id")))
 
 
+def pip_join_points_sortmerge(
+    points: DataFrame,
+    pack: PolygonPack,
+    grid: Grid,
+    predicate: str = "covers",
+    x: str = "x",
+    y: str = "y",
+    hot_cell_threshold: int = 50_000,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Shuffle-based variant of the PIP join with explicit hot-cell salting.
+
+    For polygon packs too large to broadcast, both sides shuffle on cell_id.
+    Skewed cells (urban-hotspot analog) would then hammer single reducers,
+    so cells whose point count exceeds ``hot_cell_threshold`` are salted:
+    points get salt = pmod(hash(id), k) with k = ceil(count/threshold), and
+    the cover rows of hot cells replicate once per salt — output is
+    IDENTICAL to the broadcast path (property-tested), each pair still
+    produced exactly once. AQE skew-join remains on as backstop.
+    """
+    spark = points.sparkSession
+    pts = with_cell_id(points, grid, x, y)
+    # 1. per-cell counts → salt factors for hot cells (tiny aggregate)
+    counts = pts.groupBy("cell_id").count()
+    hot = {
+        int(r["cell_id"]): int(-(-r["count"] // hot_cell_threshold))
+        for r in counts.filter(F.col("count") > hot_cell_threshold).collect()
+    }
+    # 2. salted cover relation (hot cells replicated per salt)
+    rows = []
+    for cell, poly_id in pack.cover_rows(grid):
+        for salt in range(hot.get(cell, 1)):
+            rows.append((cell, salt, poly_id))
+    cover = spark.createDataFrame(rows, "cell_id long, salt int, poly_id string")
+    # 3. salted points
+    salt_map = spark.createDataFrame(
+        [(c, k) for c, k in hot.items()] or [(-1, 1)], "cell_id long, k int"
+    )
+    salt_src = F.xxhash64(F.col(id_col)) if id_col else F.xxhash64(F.col(x), F.col(y))
+    pts_salted = (
+        pts.join(F.broadcast(salt_map), "cell_id", "left")
+        .withColumn("salt", F.when(F.col("k").isNull(), F.lit(0))
+                    .otherwise(F.pmod(salt_src, F.col("k"))).cast("int"))
+        .drop("k")
+    )
+    # 4. shuffle join on (cell_id, salt) — sort-merge, no broadcast
+    cand = pts_salted.hint("merge").join(cover, ["cell_id", "salt"])
+    out = cand.filter(
+        pip_refine_udf(pack, predicate)(F.col(x), F.col(y), F.col("poly_id"))
+    )
+    return out.drop("salt")
+
+
 # ---------------------------------------------------------------------------
 # within-distance join (range-join analog)
 # ---------------------------------------------------------------------------

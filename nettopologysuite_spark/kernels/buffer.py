@@ -115,11 +115,12 @@ class _ChainShim:
 
 
 def _ring_faces(ring: np.ndarray) -> list[Geom]:
-    """Decompose one (possibly self-intersecting) ring into simple CCW faces
-    with odd crossing parity (even-odd within the ring)."""
+    """Decompose one (possibly self-intersecting) ring into its minimal CCW
+    faces (each as a hole-free polygon). Combining the faces of one ring
+    with symmetric difference yields the even-odd region — including nested
+    (annulus) configurations that per-face parity probes cannot label."""
     from .orientation import is_ccw
     from .overlay import _node_chains
-    from .predicates import interior_point
 
     shim = _ChainShim([(ring, "line")])
     raw, _nodes = _node_chains([(0, shim)])
@@ -128,18 +129,16 @@ def _ring_faces(ring: np.ndarray) -> list[Geom]:
         directed.append((u, v))
         directed.append((v, u))
     faces = _assemble_rings(directed)
-    parity_prep = PreparedPolygon(Geom(POLYGON, rings=[ring]))
-    kept = []
+    return [Geom(POLYGON, rings=[f]) for f in faces if is_ccw(f)]
+
+
+def _even_odd_area(faces: list[Geom]) -> Geom:
+    """Symmetric-difference fold (a point is inside iff covered by an odd
+    number of faces)."""
+    result: Geom | None = None
     for f in faces:
-        if not is_ccw(f):
-            continue  # outer/unbounded trace
-        ip = interior_point(Geom(POLYGON, rings=[f]))
-        if ip is None:
-            continue
-        loc = int(parity_prep.locate(np.array([ip[0]]), np.array([ip[1]]))[0])
-        if loc == INTERIOR:
-            kept.append(Geom(POLYGON, rings=[f]))
-    return kept
+        result = f if result is None else overlay(result, f, "symdifference")
+    return result if result is not None else Geom(POLYGON)
 
 
 def make_valid_area(g: Geom) -> Geom:
@@ -148,18 +147,32 @@ def make_valid_area(g: Geom) -> Geom:
     under the even-odd rule (a bowtie shell yields both wings), then
     shell-ring areas union and hole-ring areas subtract — a hole poking
     outside its shell removes nothing there."""
-    shell_faces: list[Geom] = []
-    hole_faces: list[Geom] = []
+    part_areas: list[Geom] = []
     for leaf in g.flatten():
-        if leaf.gtype == POLYGON:
-            for ri, r in enumerate(leaf.rings):
-                if len(r) >= 4:
-                    (shell_faces if ri == 0 else hole_faces).extend(_ring_faces(r))
-    if not shell_faces:
+        if leaf.gtype != POLYGON:
+            continue
+        shell_area: Geom | None = None
+        hole_areas: list[Geom] = []
+        for ri, r in enumerate(leaf.rings):
+            if len(r) >= 4:
+                area_r = _even_odd_area(_ring_faces(r))
+                if area_r.is_empty:
+                    continue
+                if ri == 0:
+                    shell_area = area_r
+                else:
+                    hole_areas.append(area_r)
+        if shell_area is None or shell_area.is_empty:
+            continue
+        # holes subtract from THEIR OWN polygon only — a sibling part nested
+        # inside this hole must survive the union below
+        if hole_areas:
+            shell_area = overlay(shell_area, cascaded_union(hole_areas), "difference")
+        if not shell_area.is_empty:
+            part_areas.append(shell_area)
+    if not part_areas:
         return Geom(POLYGON)
-    result = cascaded_union(shell_faces)
-    if hole_faces:
-        result = overlay(result, cascaded_union(hole_faces), "difference")
+    result = cascaded_union(part_areas)
     if result is None or result.is_empty:
         return Geom(POLYGON)
     return result

@@ -345,15 +345,26 @@ def _node_chains(inputs: list[tuple[int, _Input]]):
                     snap_vertex_to_segment(ci, i, p1, p2, q2)
                     snap_vertex_to_segment(cj, j, q1, q2, p1)
                     snap_vertex_to_segment(cj, j, q1, q2, p2)
-        # self-noding within the same chain (self-intersecting lines)
+        # self-noding within the same chain (self-intersecting lines);
+        # adjacent segments are checked for COLLINEAR fold-backs (spikes)
+        # but their natural shared endpoint is not a node
         side, knd, pts = chains[ci]
         if knd == "line":
             n = len(pts) - 1
             for i in range(n):
                 p1 = (float(pts[i, 0]), float(pts[i, 1]))
                 p2 = (float(pts[i + 1, 0]), float(pts[i + 1, 1]))
-                for j in range(i + 2, n):
-                    if i == 0 and j == n - 1 and (pts[0] == pts[-1]).all():
+                for j in range(i + 1, n):
+                    closing = i == 0 and j == n - 1 and (pts[0] == pts[-1]).all()
+                    adjacent = j == i + 1
+                    if (adjacent or closing) and True:
+                        q1 = (float(pts[j, 0]), float(pts[j, 1]))
+                        q2 = (float(pts[j + 1, 0]), float(pts[j + 1, 1]))
+                        kind, payload = _seg_intersection(p1, p2, q1, q2)
+                        if kind == "overlap":
+                            for t, pt in payload:
+                                add_split(ci, i, t, pt)
+                                add_split(ci, j, _param_on_segment(pt, q1, q2), pt)
                         continue
                     q1 = (float(pts[j, 0]), float(pts[j, 1]))
                     q2 = (float(pts[j + 1, 0]), float(pts[j + 1, 1]))
@@ -749,26 +760,42 @@ def overlay(ga: Geom, gb: Geom, op: str) -> Geom:
     point_parts: list[tuple[float, float]] = []
 
     has_area = a.areas or b.areas
-    if a.areas and b.areas:
+    if has_area:
         directed, resid_lines = _select_area_edges(emap, op)
         rings = _assemble_rings(directed)
         polys = _rings_to_polygons(rings)
         covered = _coverage_of(polys)
-        if op == INTERSECTION:
-            resid_keys = {
-                _edge_key(u, v) for u, v in resid_lines
-                if not _seg_covered((u, v), covered)
-            }
-            line_parts.extend(
-                _assemble_lines(raw, node_points, lambda k: k in resid_keys)
-            )
-            point_parts.extend(_touch_points(emap, a, b, polys, line_parts))
-    elif has_area:
-        # exactly one side has areas: mixed-dimension rules
-        a_is_area = bool(a.areas)
-        polys, line_parts, point_parts = _mixed_overlay(
-            emap, raw, node_points, a, b, a_is_area, op
+        resid_keys = (
+            {_edge_key(u, v) for u, v in resid_lines} if op == INTERSECTION else set()
         )
+
+        def want_line(key):
+            """Auxiliary 1-dim components (collapse linework / GC lines)
+            carried through the area×area op with point-set semantics."""
+            if key in resid_keys:
+                return True
+            e = emap[key]
+            if not (e.a_line or e.b_line):
+                return False
+            on_a = bool(e.a_line or e.a_dir)
+            on_b = bool(e.b_line or e.b_dir)
+            in_b = on_b or (e.loc_b in (INTERIOR, BOUNDARY))
+            in_a = on_a or (e.loc_a in (INTERIOR, BOUNDARY))
+            if op == INTERSECTION:
+                return on_a and on_b or (on_a and in_b) or (on_b and in_a)
+            if op == UNION:
+                return True
+            if op == DIFFERENCE:
+                return on_a and not in_b
+            return (on_a and not in_b) or (on_b and not in_a)  # symdifference
+
+        pieces = _assemble_lines(raw, node_points, want_line)
+        for l in pieces:
+            mx = (l[0] + l[1]) * 0.5
+            if not _seg_covered(((mx[0], mx[1]), (mx[0], mx[1])), covered):
+                line_parts.append(l)
+        if op == INTERSECTION:
+            point_parts.extend(_touch_points(emap, a, b, polys, line_parts))
     else:
         polys, line_parts, point_parts = _lineal_overlay(
             emap, raw, node_points, a, b, op
@@ -808,9 +835,9 @@ def _touch_points(emap, a, b, polys, line_parts):
     for e in emap.values():
         for n in (e.u, e.v):
             s = node_sides.setdefault(n, set())
-            if e.a_dir:
+            if e.a_dir or e.a_line:
                 s.add("a")
-            if e.b_dir:
+            if e.b_dir or e.b_line:
                 s.add("b")
     cand = [n for n, s in node_sides.items() if {"a", "b"} <= s]
     cover = _coverage_of(polys)

@@ -53,7 +53,14 @@ GENERAL = [
     "TestUnaryUnion.xml", "TestUnaryUnionFloating.xml",
     "TestValid.xml", "TestValid2.xml", "TestValid2-big.xml",
     "TestBuffer.xml",
+    "TestNGOverlayAPrec.xml", "TestNGOverlayLPrec.xml", "TestNGOverlayPPrec.xml",
+    "TestOverlayAAPrec.xml", "TestOverlayLAPrec.xml", "TestOverlayLLPrec.xml",
 ]
+
+SR_OPS = {
+    "intersectionsr": "intersection", "unionsr": "union",
+    "differencesr": "difference", "symdifferencesr": "symdifference",
+}
 
 MISC = ["TestValid.xml", "TestInvalidA.xml"]
 
@@ -70,11 +77,24 @@ KNOWN_PENDING = {
     # invalid-input robustness (OverlayNGRobust ladder, later round)
     ("TestUnaryUnion.xml#11", "union"),
     ("TestUnaryUnionFloating.xml#1", "union"),
+    # legacy-overlay fixed-precision semantic differences (round 2)
+    ("TestOverlayAAPrec.xml#4", "intersection"),
+    ("TestOverlayAAPrec.xml#4", "union"),
+    ("TestOverlayAAPrec.xml#4", "difference"),
+    ("TestOverlayAAPrec.xml#4", "symdifference"),
+    ("TestOverlayAAPrec.xml#13", "intersection"),
+    ("TestOverlayAAPrec.xml#13", "union"),
+    ("TestOverlayAAPrec.xml#13", "difference"),
+    ("TestOverlayAAPrec.xml#13", "symdifference"),
+    ("TestOverlayLLPrec.xml#0", "intersection"),
+    ("TestOverlayLLPrec.xml#0", "union"),
+    ("TestOverlayLLPrec.xml#0", "difference"),
+    ("TestOverlayLLPrec.xml#0", "symdifference"),
 }
 VALIDATE = [p.name for p in sorted((CORPUS / "validate").glob("*.xml"))]
 
 
-def run_op(c, op):
+def run_op(c, op):  # noqa: C901
     """Returns (handled, passed, detail)."""
     g1, g2 = geoms_for(c, op)
     if g1 is None:
@@ -144,7 +164,17 @@ def run_op(c, op):
         dist = float(op.arg3)
         got = buffer(g1, dist)
         return True, buffer_result_match(got, wkt_loads(op.expected), dist), got
+    if op.op in SR_OPS and g2 is not None:
+        from nettopologysuite_spark.kernels.snapround import overlay_snaprounded
+
+        got = overlay_snaprounded(g1, g2, SR_OPS[op.op], float(op.arg3))
+        return True, equals_normalized(got, wkt_loads(op.expected)), got
     if op.op in OVERLAY_OPS and g2 is not None:
+        if c.case_id.split("#")[0].endswith("Prec.xml"):
+            from nettopologysuite_spark.kernels.snapround import overlay_snaprounded
+
+            got = overlay_snaprounded(g1, g2, OVERLAY_OPS[op.op], 1.0)
+            return True, equals_normalized(got, wkt_loads(op.expected)), got
         from nettopologysuite_spark.kernels.overlay import overlay
 
         got = overlay(g1, g2, OVERLAY_OPS[op.op])
