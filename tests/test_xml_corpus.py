@@ -55,6 +55,7 @@ GENERAL = [
     "TestBuffer.xml",
     "TestNGOverlayAPrec.xml", "TestNGOverlayLPrec.xml", "TestNGOverlayPPrec.xml",
     "TestOverlayAAPrec.xml", "TestOverlayLAPrec.xml", "TestOverlayLLPrec.xml",
+    "TestMinimumClearance.xml", "TestPolygonize.xml",
 ]
 
 SR_OPS = {
@@ -164,6 +165,31 @@ def run_op(c, op):  # noqa: C901
         dist = float(op.arg3)
         got = buffer(g1, dist)
         return True, buffer_result_match(got, wkt_loads(op.expected), dist), got
+    if op.op == "polygonize":
+        from nettopologysuite_spark.kernels.geom import GEOMETRYCOLLECTION, MULTIPOLYGON
+        from nettopologysuite_spark.kernels.polygonize import polygonize
+
+        polys = polygonize(g1)
+        exp = c.expected_geom(op)
+        ok = equals_normalized(Geom(GEOMETRYCOLLECTION, parts=polys), exp) or (
+            exp.gtype == MULTIPOLYGON
+            and equals_normalized(Geom(MULTIPOLYGON, parts=polys), exp)
+        )
+        return True, ok, polys
+    if op.op == "minclearance":
+        import math
+
+        from nettopologysuite_spark.kernels.clearance import minimum_clearance
+
+        d, _pair = minimum_clearance(g1)
+        exp_v = float(op.expected)
+        ok = abs(d - exp_v) < 1e-9 or (not math.isfinite(d) and exp_v > 1e300)
+        return True, ok, d
+    if op.op == "minclearanceline":
+        from nettopologysuite_spark.kernels.clearance import minimum_clearance_line
+
+        got = minimum_clearance_line(g1)
+        return True, equals_normalized(got, c.expected_geom(op)), got
     if op.op in SR_OPS and g2 is not None:
         from nettopologysuite_spark.kernels.snapround import overlay_snaprounded
 

@@ -40,6 +40,15 @@ class XmlCase:
     a_wkt: str
     b_wkt: str
     ops: list[XmlOp]
+    pm_scale: float | None = None
+
+    def expected_geom(self, op: XmlOp) -> Geom:
+        """Expected geometry, built like the runner: through the factory's
+        precision model (MakePrecise applies to expected WKT too)."""
+        g = wkt_loads(op.expected)
+        if self.pm_scale:
+            g = _make_precise(g, self.pm_scale)
+        return g
 
 
 def _make_precise(g: Geom, scale: float) -> Geom:
@@ -103,7 +112,7 @@ def load_file(path: Path) -> list[XmlCase]:
                     expected=(op.text or "").strip(),
                 )
             )
-        cases.append(XmlCase(f"{path.name}#{idx}", desc, a, b, a_wkt, b_wkt, ops))
+        cases.append(XmlCase(f"{path.name}#{idx}", desc, a, b, a_wkt, b_wkt, ops, scale))
     return cases
 
 
