@@ -160,6 +160,18 @@ def q_docs_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "poly_id")
 
 
+def q_docs_mixed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-geometry (point/polygon/linestring spans) relate join —
+    non-SQL-expressible refine → rows-only driver check; pytest verifies
+    against a brute-force kernel oracle."""
+    from nettopologysuite_spark.engine.docs import docs_spatial_join_mixed
+
+    pack = _octagon_pack(_nation_keys(spark, sf_dir))
+    return docs_spatial_join_mixed(spark, sf_dir, pack, GRID).select(
+        "doc_id", "span_idx", "poly_id"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
@@ -350,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envelope_agg": q_envelope_agg,
         "centroid_agg": q_centroid_agg,
         "docs_pip_join": q_docs_pip_join,
+        "docs_mixed_join": q_docs_mixed_join,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
         "knn_embedding": q_knn_embedding,

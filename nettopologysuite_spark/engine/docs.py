@@ -19,6 +19,7 @@ and is re-checked by ``check_span_invariant``.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -102,6 +103,87 @@ def docs_spatial_join(
     if with_spans:
         out = out.join(docs, "doc_id")  # re-attach untouched spans by key
     return out
+
+
+def synthesize_docs_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs table whose geom spans mix points (~80%), small squares (~15%)
+    and 2-segment linestrings (~5%), per FIXTURES.md §1 — all WKT built
+    natively from the shared LCG derivation."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("_nts_documents")
+    pts = spark.sql(points_sql("_nts_documents", "doc_id", "did"))
+    pts.createOrReplaceTempView("_nts_doc_pts")
+    return spark.sql(
+        """
+        SELECT format_string('doc-%012d', d.doc_id) AS doc_id,
+               array(
+                 named_struct('kind', 'text', 'text', d.text,
+                              'media_ref', CAST(NULL AS STRING), 'offset', 0),
+                 named_struct('kind', 'geom',
+                   'text',
+                   CASE WHEN d.doc_id % 20 < 16 THEN
+                     format_string('POINT (%s %s)', p.x, p.y)
+                   WHEN d.doc_id % 20 < 19 THEN
+                     format_string('POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))',
+                       p.x, p.y, p.x + 2.0, p.y, p.x + 2.0, p.y + 2.0,
+                       p.x, p.y + 2.0, p.x, p.y)
+                   ELSE
+                     format_string('LINESTRING (%s %s, %s %s, %s %s)',
+                       p.x, p.y, p.x + 3.0, p.y + 1.0, p.x + 1.0, p.y + 4.0)
+                   END,
+                   'media_ref', CAST(NULL AS STRING),
+                   'offset', CAST(length(d.text) AS INT))
+               ) AS spans
+        FROM _nts_documents d JOIN _nts_doc_pts p ON d.doc_id = p.did
+        """
+    )
+
+
+def extract_geom_wkb(docs: DataFrame) -> DataFrame:
+    """(doc_id, span_idx, geom_wkb) for arbitrary WKT geom spans — parsed by
+    the WKT kernel inside Arrow batches."""
+
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernels.geom import wkb_dumps, wkt_loads
+
+    ex = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(spans, (s, i) -> "
+                "struct(s.kind AS kind, s.text AS text, i AS idx)), "
+                "x -> x.kind = 'geom')"
+            )
+        ).alias("g"),
+    )
+
+    @pandas_udf("binary")
+    def _parse(wkt: pd.Series) -> pd.Series:
+        return pd.Series([wkb_dumps(wkt_loads(t)) for t in wkt])
+
+    return ex.select(
+        "doc_id",
+        F.col("g.idx").alias("span_idx"),
+        _parse(F.col("g.text")).alias("geom_wkb"),
+    )
+
+
+def docs_spatial_join_mixed(
+    spark: SparkSession,
+    sf_dir: str,
+    pack: PolygonPack,
+    grid: Grid,
+    predicate: str = "intersects",
+) -> DataFrame:
+    """Mixed-geometry flagship: WKT spans → WKB → envelope-cover cell
+    replication → broadcast cell join → relate-kernel refine with the
+    reference-cell dedup rule."""
+    from .joins import spatial_join_wkb
+
+    docs = synthesize_docs_mixed(spark, sf_dir)
+    geoms = extract_geom_wkb(docs)
+    out = spatial_join_wkb(geoms, pack, grid, predicate=predicate)
+    return out.select("doc_id", "span_idx", "poly_id", "cell_id")
 
 
 def check_span_invariant(source_docs: DataFrame, output_docs: DataFrame) -> int:

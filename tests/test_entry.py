@@ -29,12 +29,14 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"doc_id", "poly_id"}
 
 
+ROWS_ONLY = {"hull_agg", "simhash", "docs_mixed_join"}  # non-SQL-expressible
+
+
 def test_queries_have_oracles_or_documented_skip():
     qs = E.queries()
     oracles = E.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every oracle-less query must be intentional; currently none
-    assert set(qs) == set(oracles)
+    assert set(qs) - set(oracles) == ROWS_ONLY
 
 
 @pytest.mark.parametrize("name", FAST_ORACLE_QUERIES)

@@ -1,0 +1,41 @@
+"""ST_* SQL function registry smoke tests (through spark.sql)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def test_st_functions_sql(spark):
+    from nettopologysuite_spark.functions.st_funcs import register_all
+
+    register_all(spark)
+    spark.sql(
+        "SELECT ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') AS g, "
+        "ST_GeomFromText('POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))') AS h"
+    ).createOrReplaceTempView("t")
+    row = spark.sql(
+        """
+        SELECT ST_Area(g) AS area, ST_Length(g) AS len,
+               ST_Intersects(g, h) AS inter, ST_Contains(g, h) AS cont,
+               ST_Relate(g, h) AS im,
+               ST_Area(ST_Intersection(g, h)) AS ia,
+               ST_Area(ST_Union(g, h)) AS ua,
+               ST_AsText(ST_Centroid(g)) AS cen,
+               ST_IsValid(g) AS v, ST_IsSimple(g) AS s,
+               ST_Distance(g, ST_GeomFromText('POINT (13 10)')) AS d,
+               ST_Area(ST_Buffer(g, 2.0)) AS ba
+        FROM t
+        """
+    ).collect()[0]
+    assert row["area"] == 100.0
+    assert row["len"] == 40.0
+    assert row["inter"] is True and row["cont"] is False
+    assert row["im"] == "212101212"
+    assert row["ia"] == 25.0
+    assert row["ua"] == 175.0
+    assert row["cen"] == "POINT (5 5)"
+    assert row["v"] is True and row["s"] is True
+    assert row["d"] == 3.0
+    # buffer area ≈ 100 + 4*(10*2) + π*4 (inscribed arcs slightly less)
+    assert 190 < row["ba"] < 193
