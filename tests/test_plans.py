@@ -1,0 +1,48 @@
+"""Physical-plan quality gates: the engine must produce the plans it
+promises — broadcast cell joins, filter/column pushdown into scans, native
+whole-stage-codegen tiling, sort-merge with salting where requested."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as E  # noqa: E402
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pip_join_is_broadcast(spark, sf_dir):
+    df = E.q_pip_convex_join(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:500]
+    assert "SortMergeJoin" not in plan
+
+
+def test_tile_assign_is_pure_codegen(spark, sf_dir):
+    df = E.q_tile_assign(spark, sf_dir)
+    plan = _plan(df)
+    # no Python evaluation anywhere in the tiling projection
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # '*(n)' prefixes mark whole-stage-codegen stages in the compact form
+    assert "*(" in plan
+
+
+def test_scan_pushdown(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = events.filter(F.col("event_id") < 100).select("event_id")
+    plan = q.queryExecution if False else q._jdf.queryExecution().toString()
+    # filter reaches the parquet scan; only the needed column is read
+    assert "PushedFilters: [" in plan and "LessThan(event_id,100)" in plan, plan[-800:]
+    assert "ReadSchema: struct<event_id:bigint>" in plan
+
+
+def test_within_distance_refine_is_native(spark, sf_dir):
+    df = E.q_within_dist_join(spark, sf_dir)
+    plan = _plan(df)
+    # the squared-distance refinement stays JVM-side
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
