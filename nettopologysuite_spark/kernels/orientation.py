@@ -27,12 +27,22 @@ def orient_index(ax, ay, bx, by, cx, cy) -> int:
     det = detleft - detright
     detsum = abs(detleft) + abs(detright)
     if abs(det) > _CCW_ERR * detsum or detsum == 0.0:
-        return (det > 0) - (det < 0)
+        if det > 0:
+            return 1
+        if det < 0:
+            return -1
+        return 0
     # exact fallback
-    det_exact = (Fraction(ax) - Fraction(cx)) * (Fraction(by) - Fraction(cy)) - (
-        Fraction(ay) - Fraction(cy)
-    ) * (Fraction(bx) - Fraction(cx))
-    return (det_exact > 0) - (det_exact < 0)
+    det_exact = (
+        Fraction(float(ax)) - Fraction(float(cx))
+    ) * (Fraction(float(by)) - Fraction(float(cy))) - (
+        Fraction(float(ay)) - Fraction(float(cy))
+    ) * (Fraction(float(bx)) - Fraction(float(cx)))
+    if det_exact > 0:
+        return 1
+    if det_exact < 0:
+        return -1
+    return 0
 
 
 def is_ccw(ring: np.ndarray) -> bool:

@@ -143,15 +143,31 @@ class _Features:
 def _point_on_polyline(x: float, y: float, ln: np.ndarray) -> bool:
     x1, y1 = ln[:-1, 0], ln[:-1, 1]
     x2, y2 = ln[1:, 0], ln[1:, 1]
-    cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
-    on = (
-        (cross == 0)
-        & (x >= np.minimum(x1, x2))
+    t1 = (x2 - x1) * (y - y1)
+    t2 = (y2 - y1) * (x - x1)
+    cross = t1 - t2
+    in_box = (
+        (x >= np.minimum(x1, x2))
         & (x <= np.maximum(x1, x2))
         & (y >= np.minimum(y1, y2))
         & (y <= np.maximum(y1, y2))
     )
-    return bool(on.any())
+    # double filter, exact confirmation: a huge-coordinate cross product can
+    # underflow to 0.0 for points NOT on the line (robust/TestRobustRelate)
+    near = in_box & (np.abs(cross) <= 1e-12 * (np.abs(t1) + np.abs(t2)))
+    if not near.any():
+        return False
+    from .orientation import orient_index
+
+    for i in np.nonzero(near)[0]:
+        if (
+            orient_index(
+                float(x1[i]), float(y1[i]), float(x2[i]), float(y2[i]), x, y
+            )
+            == 0
+        ):
+            return True
+    return False
 
 
 def _point_on_polyline_interior(x: float, y: float, ln: np.ndarray) -> bool:
@@ -277,6 +293,12 @@ def _node_polyline(ln: np.ndarray, other) -> _Pieces:
                 and min(p1[1], p2[1]) <= qy <= max(p1[1], p2[1])
                 and ll > 0.0
             ):
+                from .orientation import orient_index
+
+                # exact confirmation: the double cross product underflows to
+                # 0.0 for off-line points with huge coordinates
+                if orient_index(p1[0], p1[1], p2[0], p2[1], qx, qy) != 0:
+                    continue
                 t = ((qx - p1[0]) * dx + (qy - p1[1]) * dy) / ll
                 ts.add(min(max(t, 0.0), 1.0))
                 nodes.append((qx, qy, "point"))
