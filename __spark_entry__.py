@@ -173,26 +173,17 @@ def q_docs_mixed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nettopologysuite_spark.engine.dedup import exact_dedup
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (
-        docs.withColumn("h", F.md5(F.col("text")))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
-        .select("keep_id", "n_dups")
-    )
+    return exact_dedup(docs)
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nettopologysuite_spark.engine.text import doc_stats
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.when(
-        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars_m"),
-        toks.alias("n_tokens"),
-        (F.length("text") - F.length(F.regexp_replace("text", r"[.!?,;]", ""))).alias("n_punct"),
-    )
+    return doc_stats(docs)
 
 
 def q_knn_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,7 +527,7 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(iy AS DOUBLE) + {derive.sql_double(0.5)}) * {derive.sql_double(100.0 / 128)} AS y, "
             f"(ix * 31 + iy * 17) % 97 AS value FROM px) "
             f"SELECT 'rect-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id, "
-            f"COUNT(*) AS n_px, SUM(p.value) AS sum_v, "
+            f"COUNT(*) AS n_px, CAST(SUM(p.value) AS BIGINT) AS sum_v, "
             f"CAST(SUM(p.value) AS DOUBLE) / COUNT(*) AS mean_v "
             f"FROM p CROSS JOIN nation n WHERE {nation_rect_sql_pred('p.x', 'p.y', 'n.n_nationkey')} "
             f"GROUP BY 1"

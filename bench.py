@@ -95,7 +95,7 @@ def run_scaling_probe() -> dict:
 
     Both levels run in ONE local[32] session with the task count pinned to
     N and 4N partitions (the pipeline is narrow, so partitions ≡ parallel
-    workers ≡ executors). Interleaved best-of-3 per level: this VM's
+    workers ≡ executors). Interleaved best-of-2 per level: this VM's
     absolute speed drifts ~2× over minutes (noisy neighbors), so the two
     levels must be sampled in the same window; best-of damps GC/scheduler
     spikes. N=1 by default because the host memory bus saturates near 8

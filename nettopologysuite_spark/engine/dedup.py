@@ -50,16 +50,20 @@ def word_bigrams(docs: DataFrame, text_col: str = "text",
     """(id, gram) distinct word bigrams — the discriminative shingle for
     document-level near-dup detection (character n-grams degenerate on
     small-vocabulary corpora: every doc shares most of them)."""
+    # project the split array ONCE, then shingle from it (the naive inline
+    # form re-evaluates split(trim(text)) 4× per row)
     return (
         docs.select(
             F.col(id_col).alias("_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"),
+        )
+        .select(
+            "_id",
             F.explode(
                 F.expr(
-                    f"CASE WHEN size(split(trim({text_col}), '\\\\s+')) < 2 "
-                    f"THEN array(trim({text_col})) "
-                    f"ELSE transform(sequence(0, size(split(trim({text_col}), '\\\\s+')) - 2), "
-                    f"i -> concat(split(trim({text_col}), '\\\\s+')[i], ' ', "
-                    f"split(trim({text_col}), '\\\\s+')[i + 1])) END"
+                    "CASE WHEN size(_ws) < 2 THEN array(_ws[0]) "
+                    "ELSE transform(sequence(0, size(_ws) - 2), "
+                    "i -> concat(_ws[i], ' ', _ws[i + 1])) END"
                 )
             ).alias("gram"),
         )
@@ -68,6 +72,15 @@ def word_bigrams(docs: DataFrame, text_col: str = "text",
 
 
 def _jaccard_counts(grams: DataFrame, pairs: DataFrame) -> DataFrame:
+    # semi-join grams down to candidate doc ids FIRST: the verify join then
+    # streams only candidate grams, not the full corpus gram table — at
+    # 100 TB candidates are a vanishing fraction of all docs
+    cand_ids = (
+        pairs.select(F.col("d1").alias("_id"))
+        .union(pairs.select(F.col("d2").alias("_id")))
+        .distinct()
+    )
+    grams = grams.join(cand_ids, "_id", "left_semi")
     sizes = grams.groupBy("_id").agg(F.count("*").alias("sz"))
     g1 = grams.withColumnRenamed("_id", "d1")
     g2 = grams.withColumnRenamed("_id", "d2")
@@ -98,27 +111,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(d1, d2, ni, nu): exact intersection/union n-gram counts per pair."""
-    grams = char_ngrams(docs, n, text_col, id_col)
-    sizes = grams.groupBy("_id").agg(F.count("*").alias("sz"))
-    g1 = grams.withColumnRenamed("_id", "d1")
-    g2 = grams.withColumnRenamed("_id", "d2")
-    inter = (
-        pairs.join(g1, "d1").join(g2, ["d2", "gram"])
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("ni"))
-    )
-    s1 = sizes.withColumnRenamed("_id", "d1").withColumnRenamed("sz", "s1")
-    s2 = sizes.withColumnRenamed("_id", "d2").withColumnRenamed("sz", "s2")
-    return (
-        pairs.join(inter, ["d1", "d2"], "left")
-        .na.fill({"ni": 0})
-        .join(s1, "d1")
-        .join(s2, "d2")
-        .select(
-            "d1", "d2", F.col("ni").cast("long").alias("ni"),
-            (F.col("s1") + F.col("s2") - F.col("ni")).cast("long").alias("nu"),
-        )
-    )
+    return _jaccard_counts(char_ngrams(docs, n, text_col, id_col), pairs)
 
 
 def blocked_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

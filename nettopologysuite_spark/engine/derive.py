@@ -36,17 +36,21 @@ def points_sql(table: str, id_col: str, pid_alias: str = "pid") -> str:
     # like 1048576.0 as DECIMAL and silently round the derived coordinates.
     mod = f"CAST({_MOD} AS DOUBLE)"
     ext = f"CAST({int(EXTENT)} AS DOUBLE)"
+    # reduce the id mod 2^20 BEFORE multiplying: (id % m) * a ≡ id * a (mod m)
+    # and stays < 2^52 — no int64 overflow even at 10^12-row doc ids (Spark
+    # non-ANSI would wrap silently while DuckDB raises; this keeps both exact)
+    rid = f"({id_col} % {_MOD})"
     return (
         f"SELECT {id_col} AS {pid_alias}, "
-        f"CAST(({id_col} * {_AX}) % {_MOD} AS DOUBLE) / {mod} * {ext} AS x, "
-        f"CAST((({id_col} * {_AY}) + {_CY}) % {_MOD} AS DOUBLE) / {mod} * {ext} AS y "
+        f"CAST(({rid} * {_AX}) % {_MOD} AS DOUBLE) / {mod} * {ext} AS x, "
+        f"CAST((({rid} * {_AY}) + {_CY}) % {_MOD} AS DOUBLE) / {mod} * {ext} AS y "
         f"FROM {table}"
     )
 
 
 def points_numpy(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Same derivation as :func:`points_sql`, in numpy."""
-    ids = np.asarray(ids, dtype=np.int64)
+    ids = np.asarray(ids, dtype=np.int64) % _MOD  # pre-reduce: no overflow
     hx = (ids * _AX) % _MOD
     hy = (ids * _AY + _CY) % _MOD
     x = hx.astype(np.float64) / float(_MOD) * EXTENT

@@ -31,6 +31,20 @@ def _count_occurrences(col, needle: str):
     ).cast("long")
 
 
+def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc char/token/punctuation counts (the token-counting operator)."""
+    t = F.col(text_col)
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    return docs.select(
+        id_col,
+        F.length(t).alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[.!?,;]", ""))).alias("n_punct"),
+    )
+
+
 def doc_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     t = F.col(text_col)
     padded = F.concat(F.lit(" "), t, F.lit(" "))

@@ -876,66 +876,6 @@ def _rebuilt_areas(raw, inp: _Input, side: int, offset: int) -> list[Geom]:
     return out
 
 
-def _mixed_overlay(emap, raw, node_points, a: _Input, b: _Input,
-                   a_is_area: bool, op: str):
-    """One side areal, other lineal: per-op piece selection."""
-    polys: list[Geom] = []
-    line_parts: list[np.ndarray] = []
-    point_parts: list[tuple[float, float]] = []
-    area_in = a if a_is_area else b
-    area_side = 0 if a_is_area else 1
-    area_offset = 0 if a_is_area else len(a.chains)
-
-    def area_polys():
-        return _rebuilt_areas(raw, area_in, area_side, area_offset)
-
-    def line_loc(e: _Edge):
-        loc = e.loc_a if a_is_area else e.loc_b
-        if loc is None:
-            mx = (e.u[0] + e.v[0]) * 0.5
-            my = (e.u[1] + e.v[1]) * 0.5
-            loc = area_in.locate_areal(mx, my)
-        return loc
-
-    def selector(locs):
-        def want(key):
-            e = emap[key]
-            if not (e.b_line if a_is_area else e.a_line):
-                return False
-            return line_loc(e) in locs
-        return want
-
-    if op == INTERSECTION:
-        line_parts = _assemble_lines(raw, node_points, selector({INTERIOR, BOUNDARY}))
-        # isolated touch points: nodes on BOTH a line chain and the area
-        # boundary, not covered by any result line
-        line_side = 1 if a_is_area else 0
-        cand = set()
-        for u, v, s, kind, _ci in raw:
-            if s == line_side and kind == "line":
-                for n in (u, v):
-                    if n in node_points:
-                        cand.add(n)
-        for n in sorted(cand):
-            if area_in.locate_areal(n[0], n[1]) == EXTERIOR:
-                continue
-            if any(_on_polyline(n[0], n[1], l) for l in line_parts):
-                continue
-            point_parts.append(n)
-    elif op == UNION:
-        polys = area_polys()
-        line_parts = _assemble_lines(raw, node_points, selector({EXTERIOR}))
-    elif op == DIFFERENCE:
-        if a_is_area:
-            polys = area_polys()
-        else:
-            line_parts = _assemble_lines(raw, node_points, selector({EXTERIOR}))
-    else:  # SYMDIFFERENCE
-        polys = area_polys()
-        line_parts = _assemble_lines(raw, node_points, selector({EXTERIOR}))
-    return polys, line_parts, point_parts
-
-
 def _lineal_overlay(emap, raw, node_points, a: _Input, b: _Input, op: str):
     """Both sides lineal (or puntal handled separately)."""
     point_parts: list[tuple[float, float]] = []
@@ -989,13 +929,11 @@ def _point_results(a: _Input, b: _Input, op: str, existing_parts) -> list[Geom]:
     for x, y in a.points:
         loc_b = b.locate_full(x, y)
         keep = {
-            INTERSECTION: loc_b != EXTERIOR and not (b.points and not b.chains and not b.areas),
+            INTERSECTION: loc_b != EXTERIOR,
             UNION: True,
             DIFFERENCE: loc_b == EXTERIOR,
             SYMDIFFERENCE: loc_b == EXTERIOR,
         }[op]
-        if op == INTERSECTION:
-            keep = loc_b != EXTERIOR
         if keep and not covered_by_existing(x, y):
             out.append(Geom(POINT, coords=np.array([[x, y]], dtype=np.float64)))
     for x, y in b.points:

@@ -105,7 +105,13 @@ class STRtree:
 
     def nearest(self, x: float, y: float, k: int = 1, item_dist=None) -> list[int]:
         """k nearest item indices by envelope distance (or exact item_dist
-        callback) — Roussopoulos branch-and-bound priority queue."""
+        callback) — Roussopoulos branch-and-bound priority queue.
+
+        ``item_dist(item, x, y)`` MUST return the SQUARED exact distance:
+        heap ordering and the branch-and-bound cutoff compare it against
+        squared envelope distances, so a non-squared callback would break
+        pruning. (Squared envelope distance is always a lower bound on
+        squared exact distance, so the cutoff stays admissible.)"""
         if not self.levels:
             return []
         heap: list[tuple[float, int, int, int]] = []  # (dist, tiebreak, level, node)
