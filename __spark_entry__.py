@@ -172,6 +172,52 @@ def q_docs_mixed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-derived rectangles as a WKB DataFrame — the big side of the
+    big×big join (center = LCG point, half-extents 1+pid%3 / 1+pid%2)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from nettopologysuite_spark.kernels.geom import polygon, wkb_dumps
+
+    pts = _event_points(spark, sf_dir)
+
+    @pandas_udf("binary")
+    def _rect_wkb(pid: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        w, h = derive.event_rect_dims(pid.to_numpy(np.int64))
+        xs = x.to_numpy(np.float64)
+        ys = y.to_numpy(np.float64)
+        out = []
+        for i in range(len(xs)):
+            out.append(wkb_dumps(polygon([
+                (xs[i] - w[i], ys[i] - h[i]), (xs[i] + w[i], ys[i] - h[i]),
+                (xs[i] + w[i], ys[i] + h[i]), (xs[i] - w[i], ys[i] + h[i]),
+            ])))
+        return pd.Series(out)
+
+    return pts.select("pid", _rect_wkb(F.col("pid"), F.col("x"), F.col("y")).alias("geom_wkb"))
+
+
+def q_poly_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big spatial join: event rectangles (DataFrame) × nation octagons
+    (DataFrame) — co-partitioned by cell, per-cell STRtree build+probe,
+    reference-cell dedup, exact intersects refine. No broadcast pack."""
+    from nettopologysuite_spark.engine.joins import spatial_join_cogroup
+    from nettopologysuite_spark.kernels.geom import wkb_dumps
+
+    rects = _event_rects(spark, sf_dir)
+    keys = _nation_keys(spark, sf_dir)
+    octs = spark.createDataFrame(
+        [(f"oct-{k}", wkb_dumps(nation_octagon_geom(k))) for k in keys],
+        "poly_id string, oct_wkb binary",
+    )
+    out = spatial_join_cogroup(
+        rects, octs, GRID, "intersects",
+        left_id="pid", right_id="poly_id", left_wkb="geom_wkb", right_wkb="oct_wkb",
+    )
+    return out.select("pid", "poly_id")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nettopologysuite_spark.engine.dedup import exact_dedup
 
@@ -354,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_agg": q_centroid_agg,
         "docs_pip_join": q_docs_pip_join,
         "docs_mixed_join": q_docs_mixed_join,
+        "poly_poly_join": q_poly_poly_join,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
         "knn_embedding": q_knn_embedding,
@@ -502,6 +549,13 @@ def oracle_sql() -> dict[str, str]:
             f"'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
             f"FROM {_DOCPTS} p CROSS JOIN nation n "
             + "WHERE " + nation_octagon_sql_pred("p.x", "p.y", "n.n_nationkey")
+        ),
+        "poly_poly_join": (
+            f"SELECT p.pid, 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
+            f"FROM (SELECT pid, x, y, (1 + pid % 3) AS w, (1 + pid % 2) AS h "
+            f"FROM {_PTS} p0) p CROSS JOIN nation n "
+            f"WHERE "
+            + derive.rect_octagon_sql_pred("p.x", "p.y", "p.w", "p.h", "n.n_nationkey")
         ),
         "dedup_exact": (
             "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups "

@@ -127,6 +127,44 @@ def nation_rect_sql_pred(x: str, y: str, nk: str) -> str:
     )
 
 
+def event_rect_dims_sql(pid: str) -> tuple[str, str]:
+    """(w, h) half-extent SQL expressions of the event-derived rectangle."""
+    return f"(1 + {pid} % 3)", f"(1 + {pid} % 2)"
+
+
+def event_rect_dims(pid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    pid = np.asarray(pid, dtype=np.int64)
+    return (1 + pid % 3).astype(np.float64), (1 + pid % 2).astype(np.float64)
+
+
+def rect_octagon_sql_pred(x: str, y: str, w: str, h: str, nk: str) -> str:
+    """SQL predicate: the axis-aligned rect (center ({x},{y}), half-extents
+    {w},{h}) INTERSECTS nation {nk}'s octagon (boundary-inclusive).
+
+    Separating-axis test over the 6 distinct edge-normal axes of the pair:
+    the rect contributes (1,0),(0,1); the octagon template's edges
+    contribute (3,1),(1,3),(1,-3),(3,-1) (template vertex (4,0)→(3,3) has
+    direction (-1,3) ⇒ normal (3,1), etc.). Octagon half-projection is 4s
+    on the unit axes and 12s on the slope-3 axes (template vertices dot the
+    axis max at 12). All arithmetic is exact: coordinates carry ≤27
+    significand bits, centers/scales are integers, multipliers ≤3 — so
+    Spark/numpy/DuckDB agree bit-for-bit, including touch cases."""
+    cx = f"(10 + ({nk} % 5) * 20)"
+    cy = f"(10 + (CAST(FLOOR({nk} / 5) AS BIGINT)) * 20)"
+    s = f"(1 + ({nk} % 2))"
+    dx = f"({x} - {cx})"
+    dy = f"({y} - {cy})"
+    conds = [
+        f"ABS({dx}) <= 4 * {s} + {w}",
+        f"ABS({dy}) <= 4 * {s} + {h}",
+        f"ABS(3 * {dx} + {dy}) <= 12 * {s} + 3 * {w} + {h}",
+        f"ABS({dx} + 3 * {dy}) <= 12 * {s} + {w} + 3 * {h}",
+        f"ABS({dx} - 3 * {dy}) <= 12 * {s} + {w} + 3 * {h}",
+        f"ABS(3 * {dx} - {dy}) <= 12 * {s} + 3 * {w} + {h}",
+    ]
+    return "(" + " AND ".join(conds) + ")"
+
+
 def nation_radius(nk: int) -> float:
     return float(5 + (nk % 3) * 2)
 

@@ -110,7 +110,11 @@ def pip_join_points_sortmerge(
     produced exactly once. AQE skew-join remains on as backstop.
     """
     spark = points.sparkSession
-    pts = with_cell_id(points, grid, x, y)
+    # persist the tiled projection: the hot-cell count pass and the join
+    # probe the SAME materialization — the big side is scanned from source
+    # exactly once (the count pass materializes it, the join reads the
+    # in-memory/disk copy), instead of two full parquet scans
+    pts = with_cell_id(points, grid, x, y).persist()
     # 1. per-cell counts → salt factors for hot cells (tiny aggregate)
     counts = pts.groupBy("cell_id").count()
     hot = {
@@ -245,6 +249,64 @@ def knn_join_points(
 # generic WKB × polygon-pack join (extended geometries)
 # ---------------------------------------------------------------------------
 
+def _ref_cell_col(grid: Grid, rx, ry):
+    """Native (JVM) cell id of a reference corner — same arithmetic as
+    ``tiling.cell_col`` but over arbitrary Column expressions."""
+    n = grid.n
+    ix = F.floor((rx - F.lit(grid.minx)) / F.lit(grid.cell_w)).cast("long")
+    iy = F.floor((ry - F.lit(grid.miny)) / F.lit(grid.cell_h)).cast("long")
+    ix = F.greatest(F.lit(0), F.least(F.lit(n - 1), ix))
+    iy = F.greatest(F.lit(0), F.least(F.lit(n - 1), iy))
+    return (iy * n + ix).cast("long")
+
+
+def _batched_pair_eval(pack: PolygonPack, predicate: str):
+    """Boolean pandas UDF (wkb, poly_id) → predicate(geom, poly), batched:
+    WKB parsed once per row, point-typed rows evaluated via the vectorized
+    prepared-PIP kernel per poly group, extended rows via the relate kernel.
+    """
+    from ..kernels.geom import POINT, wkb_loads
+    from ..kernels.predicates import evaluate_predicate
+
+    @pandas_udf("boolean")
+    def _eval(wkb: pd.Series, poly_id: pd.Series) -> pd.Series:
+        blobs = wkb.to_list()
+        geoms_list = [wkb_loads(bytes(b)) if b is not None else None for b in blobs]
+        out = np.zeros(len(geoms_list), dtype=bool)
+        prepared = pack.prepared()
+        pgeoms = None
+        is_pt = np.array(
+            [g is not None and g.gtype == POINT for g in geoms_list], dtype=bool
+        )
+        codes, uniques = pd.factorize(poly_id.to_numpy(object))
+        for j, pid in enumerate(uniques):
+            sel = codes == j
+            # vectorized fast path: point probes against the prepared polygon
+            # (covers ≡ intersects for points; contains = interior-only)
+            pt_sel = sel & is_pt
+            if pt_sel.any():
+                idx = np.flatnonzero(pt_sel)
+                xs = np.array([geoms_list[i].coords[0, 0] for i in idx])
+                ys = np.array([geoms_list[i].coords[0, 1] for i in idx])
+                prep = prepared[pid]
+                if predicate == "contains":
+                    out[idx] = prep.contains_points(xs, ys)
+                else:
+                    out[idx] = prep.covers_points(xs, ys)
+            # general path: full relate kernel per surviving pair
+            ext_sel = sel & ~is_pt
+            if ext_sel.any():
+                if pgeoms is None:
+                    pgeoms = pack.geoms()
+                pg = pgeoms[pid]
+                for i in np.flatnonzero(ext_sel):
+                    if geoms_list[i] is not None:
+                        out[i] = evaluate_predicate(predicate, geoms_list[i], pg)
+        return pd.Series(out)
+
+    return _eval
+
+
 def spatial_join_wkb(
     geoms: DataFrame,
     pack: PolygonPack,
@@ -253,42 +315,181 @@ def spatial_join_wkb(
     wkb_col: str = "geom_wkb",
 ) -> DataFrame:
     """Join arbitrary-WKB rows against the pack with multi-cell replication
-    and reference-cell dedup (each pair emitted exactly once)."""
+    and reference-cell dedup (each pair emitted exactly once).
+
+    The reference-cell test (pair belongs only to the cell containing the
+    lower-left corner of the envelope intersection) runs as a NATIVE column
+    predicate before any Python refine: the geometry envelope is computed
+    once (vectorized) alongside the cover cells, the polygon envelope rides
+    on the broadcast cover relation, and the corner/cell arithmetic is pure
+    Catalyst. A geometry replicated to k cells therefore reaches the Python
+    refine exactly once, already matched to its reference cell.
+    """
     from ..kernels.envelope import envelopes_of_wkb
     from ..kernels.geom import wkb_loads
-    from ..kernels.predicates import evaluate_predicate
     from .tiling import cover_cells_udf
 
     spark = geoms.sparkSession
-    cover = cover_cells_df(spark, pack, grid)
-    poly_envs = {
+
+    # broadcast cover relation carrying the polygon envelope mins
+    rows = []
+    env_by_pid = {
         e.poly_id: np.asarray(wkb_loads(e.wkb).envelope()) for e in pack.entries
     }
+    for cell, poly_id in pack.cover_rows(grid):
+        env = env_by_pid[poly_id]
+        rows.append((cell, poly_id, float(env[0]), float(env[1])))
+    cover = spark.createDataFrame(
+        rows, "cell_id long, poly_id string, p_minx double, p_miny double"
+    )
 
-    @pandas_udf("boolean")
-    def _refine(wkb: pd.Series, poly_id: pd.Series, cell_id: pd.Series) -> pd.Series:
-        geoms_list = [wkb_loads(bytes(b)) if b is not None else None for b in wkb.to_list()]
+    @pandas_udf("struct<cells:array<long>,minx:double,miny:double>")
+    def _cover_env(wkb: pd.Series) -> pd.DataFrame:
         envs = envelopes_of_wkb(wkb.to_list())
-        pgeoms = pack.geoms()
-        cells = cell_id.to_numpy(np.int64)
-        out = np.zeros(len(geoms_list), dtype=bool)
-        for i, g in enumerate(geoms_list):
-            if g is None:
-                continue
-            pid = poly_id.iloc[i]
-            penv = poly_envs[pid]
-            # reference-cell rule: the pair belongs to the cell containing the
-            # lower-left corner of the envelope intersection
-            rx = max(envs[i][0], penv[0])
-            ry = max(envs[i][1], penv[1])
-            ref_cell = int(grid.cell_ids(np.array([rx]), np.array([ry]))[0])
-            if ref_cell != cells[i]:
-                continue
-            out[i] = evaluate_predicate(predicate, g, pgeoms[pid])
-        return pd.Series(out)
+        cells = []
+        for minx, miny, maxx, maxy in envs:
+            if minx != minx:  # NaN → empty geometry
+                cells.append([])
+            else:
+                cells.append([int(c) for c in grid.cover_envelope(minx, miny, maxx, maxy)])
+        return pd.DataFrame({"cells": cells, "minx": envs[:, 0], "miny": envs[:, 1]})
 
+    tagged = geoms.withColumn("_ce", _cover_env(F.col(wkb_col)))
     cand = (
-        geoms.withColumn("cell_id", F.explode(cover_cells_udf(grid)(F.col(wkb_col))))
+        tagged.select("*", F.explode(F.col("_ce.cells")).alias("cell_id"),
+                      F.col("_ce.minx").alias("g_minx"), F.col("_ce.miny").alias("g_miny"))
+        .drop("_ce")
         .join(F.broadcast(cover), "cell_id")
     )
-    return cand.filter(_refine(F.col(wkb_col), F.col("poly_id"), F.col("cell_id")))
+    # native reference-cell pre-filter (JVM, whole-stage codegen)
+    ref = _ref_cell_col(
+        grid,
+        F.greatest(F.col("g_minx"), F.col("p_minx")),
+        F.greatest(F.col("g_miny"), F.col("p_miny")),
+    )
+    cand = cand.filter(ref == F.col("cell_id")).drop("g_minx", "g_miny", "p_minx", "p_miny")
+    return cand.filter(_batched_pair_eval(pack, predicate)(F.col(wkb_col), F.col("poly_id")))
+
+
+# ---------------------------------------------------------------------------
+# big × big spatial join: both sides DataFrames, co-partitioned by cell,
+# executor-local STRtree over the build side (no driver-held pack)
+# ---------------------------------------------------------------------------
+
+def spatial_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    grid: Grid,
+    predicate: str = "intersects",
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    left_wkb: str = "l_wkb",
+    right_wkb: str = "r_wkb",
+    exact_relate: bool = False,
+) -> DataFrame:
+    """Distributed spatial join of TWO DataFrames of WKB geometries.
+
+    This is the 100-TB join shape (no driver-held broadcastable side):
+
+    1. Both sides explode to covering cells (vectorized envelope cover).
+    2. ``groupBy(cell).cogroup(...).applyInPandas`` co-partitions both
+       sides on cell_id — one shuffle each, then every cell's pair-finding
+       runs executor-local.
+    3. Inside each cell an **STRtree** (``kernels/strtree.py``, STR bulk
+       pack per ``Index/Strtree/STRtree.cs:173-183``) is built over the
+       right side's envelopes and probed with each left envelope — candidate
+       generation is O((n+m) log m), never n×m.
+    4. Reference-cell dedup (pair reported only in the cell containing the
+       lower-left corner of the envelope intersection) runs vectorized
+       BEFORE the exact predicate, so each surviving pair is evaluated
+       exactly once across all cells.
+    5. Exact refinement: vectorized fast predicates (``predicates.
+       intersects/covers/contains`` — envelope short-circuit + batched
+       segment/PIP tests) or the full DE-9IM relate kernel
+       (``exact_relate=True``).
+
+    Skew note: a hot cell lands on one task; AQE skew-join splitting applies
+    to the shuffle, and the grid level is the coarse knob (finer level →
+    smaller cells → bounded per-cell work). Output is property-tested equal
+    to the broadcast-pack path.
+    """
+    from ..kernels.envelope import envelopes_of_wkb
+    from ..kernels.geom import wkb_loads
+    from ..kernels.predicates import contains as p_contains
+    from ..kernels.predicates import covers as p_covers
+    from ..kernels.predicates import evaluate_predicate
+    from ..kernels.predicates import intersects as p_intersects
+    from ..kernels.strtree import STRtree
+    from .tiling import cover_cells_udf
+
+    if exact_relate:
+        pair_eval = lambda a, b: evaluate_predicate(predicate, a, b)  # noqa: E731
+    else:
+        fast = {"intersects": p_intersects, "covers": p_covers, "contains": p_contains}
+        pair_eval = fast.get(predicate)
+        if pair_eval is None:
+            pair_eval = lambda a, b: evaluate_predicate(predicate, a, b)  # noqa: E731
+
+    ltype = dict(left.dtypes)[left_id]
+    rtype = dict(right.dtypes)[right_id]
+    out_schema = f"{left_id} {ltype}, {right_id} {rtype}, cell_id long"
+
+    lc = left.select(
+        F.col(left_id), F.col(left_wkb),
+        F.explode(cover_cells_udf(grid)(F.col(left_wkb))).alias("cell_id"),
+    )
+    rc = right.select(
+        F.col(right_id), F.col(right_wkb),
+        F.explode(cover_cells_udf(grid)(F.col(right_wkb))).alias("cell_id"),
+    )
+
+    def refine(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({left_id: [], right_id: [], "cell_id": []})
+        cell = int(key[0])
+        lenv = envelopes_of_wkb(lpdf[left_wkb].to_list())
+        renv = envelopes_of_wkb(rpdf[right_wkb].to_list())
+        tree = STRtree(renv)
+        li_all, rj_all = [], []
+        for i in range(len(lpdf)):
+            hits = tree.query(lenv[i, 0], lenv[i, 1], lenv[i, 2], lenv[i, 3])
+            if len(hits):
+                li_all.append(np.full(len(hits), i, dtype=np.int64))
+                rj_all.append(hits)
+        if not li_all:
+            return pd.DataFrame({left_id: [], right_id: [], "cell_id": []})
+        li = np.concatenate(li_all)
+        rj = np.concatenate(rj_all)
+        # vectorized reference-cell dedup over ALL candidate pairs at once
+        rx = np.maximum(lenv[li, 0], renv[rj, 0])
+        ry = np.maximum(lenv[li, 1], renv[rj, 1])
+        keep = grid.cell_ids(rx, ry) == cell
+        li, rj = li[keep], rj[keep]
+        if not len(li):
+            return pd.DataFrame({left_id: [], right_id: [], "cell_id": []})
+        # parse each surviving geometry exactly once
+        lgeoms: dict[int, object] = {}
+        rgeoms: dict[int, object] = {}
+        lblob = lpdf[left_wkb].to_list()
+        rblob = rpdf[right_wkb].to_list()
+        ok = np.zeros(len(li), dtype=bool)
+        for t, (i, j) in enumerate(zip(li, rj)):
+            ga = lgeoms.get(i)
+            if ga is None:
+                ga = lgeoms[i] = wkb_loads(bytes(lblob[i]))
+            gb = rgeoms.get(j)
+            if gb is None:
+                gb = rgeoms[j] = wkb_loads(bytes(rblob[j]))
+            ok[t] = pair_eval(ga, gb)
+        li, rj = li[ok], rj[ok]
+        return pd.DataFrame({
+            left_id: lpdf[left_id].to_numpy()[li],
+            right_id: rpdf[right_id].to_numpy()[rj],
+            "cell_id": np.full(len(li), cell, dtype=np.int64),
+        })
+
+    return (
+        lc.groupBy("cell_id")
+        .cogroup(rc.groupBy("cell_id"))
+        .applyInPandas(refine, out_schema)
+    )

@@ -1,0 +1,116 @@
+"""Big×big co-partitioned STRtree join: property-equal to the broadcast-pack
+path and to a driver-side brute force; reference-cell dedup emits each pair
+exactly once."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as E  # noqa: E402
+
+
+def _brute_force_pairs(spark, sf_dir):
+    from nettopologysuite_spark.kernels.geom import wkb_loads
+    from nettopologysuite_spark.kernels.predicates import intersects
+
+    rects = E._event_rects(spark, sf_dir).collect()
+    pack = E._octagon_pack(E._nation_keys(spark, sf_dir))
+    pgeoms = pack.geoms()
+    expect = set()
+    for r in rects:
+        g = wkb_loads(bytes(r["geom_wkb"]))
+        for pid, poly in pgeoms.items():
+            if intersects(g, poly):
+                expect.add((r["pid"], pid))
+    return expect
+
+
+def test_cogroup_join_matches_bruteforce_and_broadcast(spark, sf_dir):
+    from nettopologysuite_spark.engine.joins import spatial_join_wkb
+
+    got_rows = [(r["pid"], r["poly_id"]) for r in E.q_poly_poly_join(spark, sf_dir).collect()]
+    got = set(got_rows)
+    # exactly-once per pair (reference-cell dedup)
+    assert len(got_rows) == len(got)
+    # equals driver brute force
+    assert got == _brute_force_pairs(spark, sf_dir)
+    # equals the broadcast-pack path on the same inputs
+    pack = E._octagon_pack(E._nation_keys(spark, sf_dir))
+    rects = E._event_rects(spark, sf_dir)
+    bc = spatial_join_wkb(rects, pack, E.GRID, predicate="intersects")
+    bc_got = {(r["pid"], r["poly_id"]) for r in bc.select("pid", "poly_id").collect()}
+    assert got == bc_got
+
+
+def test_cogroup_join_mixed_types_exact_relate(spark):
+    """Points/lines/polygons on the left, polygons on the right, full relate
+    kernel — touch and containment cases covered."""
+    from nettopologysuite_spark.engine.joins import spatial_join_cogroup
+    from nettopologysuite_spark.kernels.geom import (
+        linestring,
+        point,
+        polygon,
+        wkb_dumps,
+        wkb_loads,
+    )
+    from nettopologysuite_spark.kernels.relate import relate_predicate
+    from nettopologysuite_spark.kernels.cells import Grid
+
+    grid = Grid(0.0, 0.0, 100.0, 100.0, level=4)
+    lefts = [
+        ("p-in", point(10.0, 10.0)),
+        ("p-bnd", point(14.0, 10.0)),  # on octagon-ish square boundary
+        ("p-out", point(90.0, 90.0)),
+        ("l-cross", linestring([(0.0, 10.0), (20.0, 10.0)])),
+        ("l-touch", linestring([(14.0, 6.0), (14.0, 14.0)])),
+        ("pg-overlap", polygon([(12.0, 8.0), (20.0, 8.0), (20.0, 12.0), (12.0, 12.0)])),
+        ("pg-inside", polygon([(9.0, 9.0), (11.0, 9.0), (11.0, 11.0), (9.0, 11.0)])),
+        ("pg-far", polygon([(60.0, 60.0), (62.0, 60.0), (62.0, 62.0), (60.0, 62.0)])),
+    ]
+    rights = [
+        ("sq-a", polygon([(6.0, 6.0), (14.0, 6.0), (14.0, 14.0), (6.0, 14.0)])),
+        ("sq-b", polygon([(58.0, 58.0), (66.0, 58.0), (66.0, 66.0), (58.0, 66.0)])),
+    ]
+    ldf = spark.createDataFrame(
+        [(i, wkb_dumps(g)) for i, g in lefts], "l_id string, l_wkb binary"
+    )
+    rdf = spark.createDataFrame(
+        [(i, wkb_dumps(g)) for i, g in rights], "r_id string, r_wkb binary"
+    )
+    out = spatial_join_cogroup(ldf, rdf, grid, "intersects", exact_relate=True)
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    expect = {
+        (li, ri)
+        for li, lg in lefts
+        for ri, rg in rights
+        if relate_predicate(lg, rg, "intersects")
+    }
+    assert got == expect
+    assert ("p-bnd", "sq-a") in got and ("l-touch", "sq-a") in got
+    assert ("pg-far", "sq-b") in got
+
+
+def test_strtree_nearest_item_dist_callback():
+    """item_dist returns SQUARED exact distance; branch-and-bound must return
+    true nearest even when envelope order differs from exact order."""
+    import numpy as np
+
+    from nettopologysuite_spark.kernels.strtree import STRtree
+
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(0, 100, size=(200, 2))
+    half = rng.uniform(0.1, 5.0, size=(200, 1))  # big boxes, tiny real points
+    envs = np.hstack([centers - half, centers + half])
+    tree = STRtree(envs)
+
+    def item_dist(i, x, y):
+        dx = centers[i, 0] - x
+        dy = centers[i, 1] - y
+        return dx * dx + dy * dy
+
+    for qx, qy in rng.uniform(0, 100, size=(20, 2)):
+        got = tree.nearest(qx, qy, k=5, item_dist=item_dist)
+        d2 = (centers[:, 0] - qx) ** 2 + (centers[:, 1] - qy) ** 2
+        expect = list(np.argsort(d2, kind="stable")[:5])
+        assert sorted(got) == sorted(int(e) for e in expect)
