@@ -122,6 +122,27 @@ def build_registry() -> dict:
             out.append(None if g is None else wkb_dumps(k_buffer(g, float(d))))
         return pd.Series(out)
 
+    @pandas_udf("binary")
+    def st_buffer_style(wkb: pd.Series, dist: pd.Series, quad_segs: pd.Series,
+                        end_cap: pd.Series, join: pd.Series,
+                        mitre_limit: pd.Series) -> pd.Series:
+        """ST_Buffer with full style parameters (BufferParameters.cs:20-222):
+        quad segments, end cap round|flat|square, join round|mitre|bevel,
+        mitre limit."""
+        from ..kernels.offset import BufferParams, buffer_styled
+
+        out = []
+        for g, d, qs, ec, jn, ml in zip(
+            _geoms(wkb), dist, quad_segs, end_cap, join, mitre_limit
+        ):
+            if g is None:
+                out.append(None)
+                continue
+            p = BufferParams(quad_segs=int(qs), end_cap=str(ec), join=str(jn),
+                             mitre_limit=float(ml))
+            out.append(wkb_dumps(buffer_styled(g, float(d), p)))
+        return pd.Series(out)
+
 
     @pandas_udf("double")
     def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -184,6 +205,7 @@ def build_registry() -> dict:
         "ST_IsValid": _unary_bool(k_is_valid),
         "ST_IsSimple": _unary_bool(k_is_simple),
         "ST_Buffer": st_buffer,
+        "ST_BufferStyle": st_buffer_style,
         "ST_Simplify": st_simplify,
         "ST_Densify": st_densify,
         "ST_Distance": st_distance,

@@ -1,17 +1,15 @@
-"""Buffer (Operation/Buffer/BufferOp.cs semantics, tolerance-matched).
+"""Buffer support: valid-area rebuild (buffer-0), Hausdorff distances, and
+the reference runner's buffer matcher. The buffer operator itself lives in
+``kernels/offset.py`` (offset curves + winding-region extraction, the
+``Operation/Buffer/BufferBuilder.cs:87-121`` pipeline).
 
-Point-set definition: buffer(g, d) = { p : dist(p, g) ≤ d } — realized as
-the union of per-segment capsules (segment ⊕ disc) and per-point discs,
-with arcs discretized at the reference's fillet quantum (π/2 / quadSegs,
-``BufferParameters.cs:28`` default 8), plus the input area itself; negative
-distances erode via difference. buffer(0) = valid-area rebuild (even-odd
-face extraction over self-noded rings — the classic buffer-0 fix).
+buffer(0) = valid-area rebuild (even-odd face extraction over self-noded
+rings — the classic buffer-0 fix).
 
 The reference's own test runner matches buffer results by relative
 symmetric-difference area (< 1e-3) and boundary Hausdorff distance
 (< |d|/100) — ``test/NetTopologySuite.TestRunner/Result/BufferResultMatcher
-.cs:43-105`` — which this construction satisfies when using the same arc
-discretization.
+.cs:43-105``.
 """
 
 from __future__ import annotations
@@ -35,55 +33,14 @@ from .pip import EXTERIOR, INTERIOR, PreparedPolygon
 from .union_op import cascaded_union
 
 
-def _arc_points(cx, cy, r, a0, a1, quantum) -> list[tuple[float, float]]:
-    """Clockwise arc from angle a0 down to a1 (a0 > a1), exclusive ends."""
-    pts = []
-    a = a0 - quantum
-    while a > a1 + 1e-12:
-        pts.append((cx + r * math.cos(a), cy + r * math.sin(a)))
-        a -= quantum
-    return pts
 
 
-_SNAP = 65536.0  # 2^16 vertex grid: collapses 1-ulp differences between
-# arcs sampled on the same circle from different capsules (JTS relies on
-# snap-rounding noding for the same reason); ~1.5e-5 absolute — far inside
-# the buffer matcher tolerances
 
 
-def _snap_ring(ring: np.ndarray) -> np.ndarray:
-    r = np.floor(ring * _SNAP + 0.5) / _SNAP
-    keep = np.ones(len(r), dtype=bool)
-    keep[1:] = (r[1:] != r[:-1]).any(axis=1)
-    return r[keep]
 
 
-def _circle(cx, cy, r, quad_segs) -> Geom:
-    n = 4 * quad_segs
-    ang = [2.0 * math.pi * k / n for k in range(n)]
-    ring = [(cx + r * math.cos(a), cy + r * math.sin(a)) for a in ang]
-    return mk_polygon(_snap_ring(np.array(ring)))
 
 
-def _capsule(p0, p1, r, quad_segs) -> Geom:
-    dx, dy = p1[0] - p0[0], p1[1] - p0[1]
-    ll = math.hypot(dx, dy)
-    if ll == 0.0:
-        return _circle(p0[0], p0[1], r, quad_segs)
-    ux, uy = dx / ll, dy / ll
-    nx, ny = -uy, ux
-    quantum = (math.pi / 2.0) / quad_segs
-    theta_n = math.atan2(ny, nx)
-    ring: list[tuple[float, float]] = []
-    ring.append((p0[0] + nx * r, p0[1] + ny * r))
-    ring.append((p1[0] + nx * r, p1[1] + ny * r))
-    ring.extend(_arc_points(p1[0], p1[1], r, theta_n, theta_n - math.pi, quantum))
-    ring.append((p1[0] - nx * r, p1[1] - ny * r))
-    ring.append((p0[0] - nx * r, p0[1] - ny * r))
-    ring.extend(
-        _arc_points(p0[0], p0[1], r, theta_n - math.pi, theta_n - 2 * math.pi, quantum)
-    )
-    return mk_polygon(_snap_ring(np.array(ring)))
 
 
 def _all_segments(g: Geom):
@@ -179,69 +136,15 @@ def make_valid_area(g: Geom) -> Geom:
 
 
 # ---------------------------------------------------------------------------
-# buffer
+# buffer (offset-curve pipeline — kernels/offset.py)
 # ---------------------------------------------------------------------------
 
-def _drop_slivers(g: Geom, dist: float) -> Geom:
-    """Remove snap-grid artifacts: result parts / holes whose area is
-    negligible relative to the buffer distance (the discretization already
-    concedes ~1e-3 relative area; slivers are orders below that)."""
-    from .measures import _ring_signed_area2
-
-    eps = max(1.0e-6 * dist * dist, 1.0e-9)
-    parts = []
-    for leaf in g.flatten():
-        if leaf.gtype != POLYGON or not leaf.rings:
-            continue
-        if abs(_ring_signed_area2(leaf.rings[0])) / 2.0 < eps:
-            continue
-        rings = [leaf.rings[0]] + [
-            h for h in leaf.rings[1:] if abs(_ring_signed_area2(h)) / 2.0 >= eps
-        ]
-        parts.append(Geom(POLYGON, rings=rings))
-    return build_geometry(parts, 2)
-
-
 def buffer(g: Geom, dist: float, quad_segs: int = 8) -> Geom:
-    if g.is_empty:
-        return Geom(POLYGON)
-    has_area = any(l.gtype == POLYGON for l in g.flatten())
-    if dist == 0.0:
-        return make_valid_area(g) if has_area else Geom(POLYGON)
-    if dist < 0.0:
-        if not has_area:
-            return Geom(POLYGON)
-        area = make_valid_area(g)
-        if area.is_empty:
-            return Geom(POLYGON)
-        capsules = [
-            _capsule(p0, p1, -dist, quad_segs) for p0, p1 in _all_segments(area)
-        ]
-        eroded = _drop_slivers(
-            overlay(area, cascaded_union(capsules), "difference"), dist
-        )
-        return eroded if not eroded.is_empty else Geom(POLYGON)
+    """Default-style buffer (round joins/caps, BufferParameters.cs defaults).
+    Full style control: ``offset.buffer_styled``."""
+    from .offset import BufferParams, buffer_styled
 
-    pieces: list[Geom] = []
-    if has_area:
-        va = make_valid_area(g)
-        if not va.is_empty:
-            pieces.append(va)
-    # capsules over ALL original linework (incl. degenerate polygon rings
-    # whose valid area is empty — their boundary still buffers)
-    pieces.extend(_capsule(p0, p1, dist, quad_segs) for p0, p1 in _all_segments(g))
-    for leaf in g.flatten():
-        if leaf.gtype == POINT and not leaf.is_empty:
-            pieces.append(
-                _circle(float(leaf.coords[0, 0]), float(leaf.coords[0, 1]), dist, quad_segs)
-            )
-        elif leaf.gtype == LINESTRING and len(leaf.coords) == 1:
-            pieces.append(
-                _circle(float(leaf.coords[0, 0]), float(leaf.coords[0, 1]), dist, quad_segs)
-            )
-    if not pieces:
-        return Geom(POLYGON)
-    return _drop_slivers(cascaded_union(pieces), dist)
+    return buffer_styled(g, dist, BufferParams(quad_segs=quad_segs))
 
 
 # ---------------------------------------------------------------------------

@@ -228,6 +228,15 @@ def _maybe_empty(sc: _WktScanner) -> bool:
     if w == "EMPTY":
         return True
     sc.pos = save
+    # quirky variant seen in reference fixtures: 'POLYGON( EMPTY)'
+    if sc.peek() == "(":
+        save = sc.pos
+        sc.expect("(")
+        w = sc.take_word()
+        if w == "EMPTY" and sc.peek() == ")":
+            sc.expect(")")
+            return True
+        sc.pos = save
     return False
 
 

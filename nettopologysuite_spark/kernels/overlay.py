@@ -314,69 +314,98 @@ def _node_chains(inputs: list[tuple[int, _Input]]):
         if cxp * cxp <= _SNAP_EPS2 * ll:
             add_split(ci, si, t, q)
 
-    for ci in range(len(chains)):
-        si_pts = chains[ci][2]
-        for cj in range(ci + 1, len(chains)):
-            sj_pts = chains[cj][2]
-            if (
-                si_pts[:, 0].max() < sj_pts[:, 0].min()
-                or sj_pts[:, 0].max() < si_pts[:, 0].min()
-                or si_pts[:, 1].max() < sj_pts[:, 1].min()
-                or sj_pts[:, 1].max() < si_pts[:, 1].min()
-            ):
+    # -- candidate pairs via a sweep over padded segment envelopes ----------
+    # (MCIndexNoder analog: only envelope-overlapping segment pairs reach the
+    # exact intersector; the pad covers the hot-pixel snap radius, which is
+    # at most 1e-9 × the longest segment)
+    seg_chain: list[int] = []
+    seg_idx: list[int] = []
+    seg_p1: list[tuple] = []
+    seg_p2: list[tuple] = []
+    for ci, (_side, _kind, pts) in enumerate(chains):
+        for i in range(len(pts) - 1):
+            seg_chain.append(ci)
+            seg_idx.append(i)
+            seg_p1.append((float(pts[i, 0]), float(pts[i, 1])))
+            seg_p2.append((float(pts[i + 1, 0]), float(pts[i + 1, 1])))
+    nseg = len(seg_p1)
+    if nseg:
+        a1 = np.asarray(seg_p1)
+        a2 = np.asarray(seg_p2)
+        minx = np.minimum(a1[:, 0], a2[:, 0])
+        maxx = np.maximum(a1[:, 0], a2[:, 0])
+        miny = np.minimum(a1[:, 1], a2[:, 1])
+        maxy = np.maximum(a1[:, 1], a2[:, 1])
+        lmax2 = float(((a2 - a1) ** 2).sum(axis=1).max())
+        pad = 1e-9 * math.sqrt(lmax2)
+        order = np.argsort(minx, kind="stable")
+        sminx = minx[order]
+
+        def process_pair(sa: int, sb: int):
+            ca, ia = seg_chain[sa], seg_idx[sa]
+            cb, ib = seg_chain[sb], seg_idx[sb]
+            p1, p2 = seg_p1[sa], seg_p2[sa]
+            q1, q2 = seg_p1[sb], seg_p2[sb]
+            if ca == cb:
+                # self-noding: only 'line' chains; adjacent segments (and the
+                # closing pair of a closed chain) check COLLINEAR fold-backs
+                # only — their natural shared endpoint is not a node
+                if chains[ca][1] != "line":
+                    return
+                pts = chains[ca][2]
+                i, j = (ia, ib) if ia <= ib else (ib, ia)
+                if i == j:
+                    return
+                n = len(pts) - 1
+                closing = i == 0 and j == n - 1 and (pts[0] == pts[-1]).all()
+                if j == i + 1 or closing:
+                    kind, payload = _seg_intersection(
+                        tuple(map(float, pts[i])), tuple(map(float, pts[i + 1])),
+                        tuple(map(float, pts[j])), tuple(map(float, pts[j + 1])),
+                    )
+                    if kind == "overlap":
+                        pi1 = (float(pts[i, 0]), float(pts[i, 1]))
+                        pi2 = (float(pts[i + 1, 0]), float(pts[i + 1, 1]))
+                        pj1 = (float(pts[j, 0]), float(pts[j, 1]))
+                        pj2 = (float(pts[j + 1, 0]), float(pts[j + 1, 1]))
+                        for t, pt in payload:
+                            add_split(ca, i, _param_on_segment(pt, pi1, pi2), pt)
+                            add_split(ca, j, _param_on_segment(pt, pj1, pj2), pt)
+                    return
+                kind, payload = _seg_intersection(p1, p2, q1, q2)
+                if kind == "point":
+                    pt, t = payload
+                    add_split(ca, ia, t, pt)
+                    add_split(cb, ib, _param_on_segment(pt, q1, q2), pt)
+                elif kind == "overlap":
+                    for t, pt in payload:
+                        add_split(ca, ia, t, pt)
+                        add_split(cb, ib, _param_on_segment(pt, q1, q2), pt)
+                return
+            kind, payload = _seg_intersection(p1, p2, q1, q2)
+            if kind == "point":
+                pt, t = payload
+                add_split(ca, ia, t, pt)
+                add_split(cb, ib, _param_on_segment(pt, q1, q2), pt)
+            elif kind == "overlap":
+                for t, pt in payload:
+                    add_split(ca, ia, t, pt)
+                    add_split(cb, ib, _param_on_segment(pt, q1, q2), pt)
+            # hot-pixel snaps (vertices lying ~on the other segment)
+            snap_vertex_to_segment(ca, ia, p1, p2, q1)
+            snap_vertex_to_segment(ca, ia, p1, p2, q2)
+            snap_vertex_to_segment(cb, ib, q1, q2, p1)
+            snap_vertex_to_segment(cb, ib, q1, q2, p2)
+
+        for pos in range(nseg):
+            k = int(order[pos])
+            hi = int(np.searchsorted(sminx, maxx[k] + pad, side="right"))
+            if hi <= pos + 1:
                 continue
-            for i in range(len(si_pts) - 1):
-                p1 = (float(si_pts[i, 0]), float(si_pts[i, 1]))
-                p2 = (float(si_pts[i + 1, 0]), float(si_pts[i + 1, 1]))
-                for j in range(len(sj_pts) - 1):
-                    q1 = (float(sj_pts[j, 0]), float(sj_pts[j, 1]))
-                    q2 = (float(sj_pts[j + 1, 0]), float(sj_pts[j + 1, 1]))
-                    kind, payload = _seg_intersection(p1, p2, q1, q2)
-                    if kind == "point":
-                        pt, t = payload
-                        add_split(ci, i, t, pt)
-                        add_split(cj, j, _param_on_segment(pt, q1, q2), pt)
-                    elif kind == "overlap":
-                        for t, pt in payload:
-                            add_split(ci, i, t, pt)
-                            add_split(cj, j, _param_on_segment(pt, q1, q2), pt)
-                    # hot-pixel snaps (vertices lying ~on the other segment)
-                    snap_vertex_to_segment(ci, i, p1, p2, q1)
-                    snap_vertex_to_segment(ci, i, p1, p2, q2)
-                    snap_vertex_to_segment(cj, j, q1, q2, p1)
-                    snap_vertex_to_segment(cj, j, q1, q2, p2)
-        # self-noding within the same chain (self-intersecting lines);
-        # adjacent segments are checked for COLLINEAR fold-backs (spikes)
-        # but their natural shared endpoint is not a node
-        side, knd, pts = chains[ci]
-        if knd == "line":
-            n = len(pts) - 1
-            for i in range(n):
-                p1 = (float(pts[i, 0]), float(pts[i, 1]))
-                p2 = (float(pts[i + 1, 0]), float(pts[i + 1, 1]))
-                for j in range(i + 1, n):
-                    closing = i == 0 and j == n - 1 and (pts[0] == pts[-1]).all()
-                    adjacent = j == i + 1
-                    if (adjacent or closing) and True:
-                        q1 = (float(pts[j, 0]), float(pts[j, 1]))
-                        q2 = (float(pts[j + 1, 0]), float(pts[j + 1, 1]))
-                        kind, payload = _seg_intersection(p1, p2, q1, q2)
-                        if kind == "overlap":
-                            for t, pt in payload:
-                                add_split(ci, i, t, pt)
-                                add_split(ci, j, _param_on_segment(pt, q1, q2), pt)
-                        continue
-                    q1 = (float(pts[j, 0]), float(pts[j, 1]))
-                    q2 = (float(pts[j + 1, 0]), float(pts[j + 1, 1]))
-                    kind, payload = _seg_intersection(p1, p2, q1, q2)
-                    if kind == "point":
-                        pt, t = payload
-                        add_split(ci, i, t, pt)
-                        add_split(ci, j, _param_on_segment(pt, q1, q2), pt)
-                    elif kind == "overlap":
-                        for t, pt in payload:
-                            add_split(ci, i, t, pt)
-                            add_split(ci, j, _param_on_segment(pt, q1, q2), pt)
+            cand = order[pos + 1 : hi]
+            sel = (miny[cand] <= maxy[k] + pad) & (maxy[cand] >= miny[k] - pad)
+            for m in cand[sel]:
+                process_pair(k, int(m))
     edges = []  # (u, v, side, kind, chain_id)
     for ci, (side, kind, pts) in enumerate(chains):
         p_first = (float(pts[0, 0]), float(pts[0, 1]))

@@ -110,6 +110,11 @@ def _snap_round_chains(all_chains: list[np.ndarray], scale: float) -> list[np.nd
             for v in c:
                 pixels.add(_round_pt((float(v[0]), float(v[1])), scale))
         pix = sorted(pixels)
+        # vectorized candidate filter: only pixels whose square overlaps the
+        # segment's envelope reach the exact clip test
+        parr = np.asarray(pix, dtype=np.float64) if pix else np.empty((0, 2))
+        px_order = np.argsort(parr[:, 0], kind="stable") if len(parr) else np.empty(0, dtype=np.int64)
+        px_sorted_x = parr[px_order, 0] if len(parr) else np.empty(0)
         out = []
         for c in chains:
             if c is None or len(c) < 2:
@@ -119,8 +124,17 @@ def _snap_round_chains(all_chains: list[np.ndarray], scale: float) -> list[np.nd
             for i in range(len(c) - 1):
                 p1 = (float(c[i, 0]), float(c[i, 1]))
                 p2 = (float(c[i + 1, 0]), float(c[i + 1, 1]))
+                if len(parr):
+                    lo = np.searchsorted(px_sorted_x, min(p1[0], p2[0]) - half, side="left")
+                    hi = np.searchsorted(px_sorted_x, max(p1[0], p2[0]) + half, side="right")
+                    cand = px_order[lo:hi]
+                    ys = parr[cand, 1]
+                    cand = cand[(ys >= min(p1[1], p2[1]) - half) & (ys <= max(p1[1], p2[1]) + half)]
+                else:
+                    cand = []
                 hits = []
-                for (cx, cy) in pix:
+                for ci2 in cand:
+                    cx, cy = pix[int(ci2)]
                     t = _clip_param(p1, p2, cx, cy, half)
                     if t is not None:
                         hits.append((t, (cx, cy)))
