@@ -297,7 +297,6 @@ def overlay_snaprounded(ga: Geom, gb: Geom, op: str, scale: float) -> Geom:
     if op == "intersection":
         # result slivers that rounded to zero area surface as lines
         lines.extend(collapse_lines)
-
     # drop line/point pieces covered by result areas, dissolve duplicates
     if lines:
         merged = dissolve_lines(Geom(GEOMETRYCOLLECTION, parts=lines))
