@@ -218,6 +218,23 @@ def q_poly_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pid", "poly_id")
 
 
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-span stats over the interleaved docs table (native array
+    expressions; spans never explode-and-regroup)."""
+    from nettopologysuite_spark.engine.media import media_stats
+
+    docs = synthesize_docs(spark, sf_dir)
+    return media_stats(docs)
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-level dedup on the content fingerprint (pHash analog)."""
+    from nettopologysuite_spark.engine.media import media_dedup
+
+    docs = synthesize_docs(spark, sf_dir)
+    return media_dedup(docs)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nettopologysuite_spark.engine.dedup import exact_dedup
 
@@ -283,6 +300,17 @@ def q_knn_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", F.col("vec_id_n").alias("nbr_id"), "sim")
     )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: random-hyperplane LSH signatures (JVM higher-order
+    functions), band bucket join for candidates, exact quantized-cosine
+    re-rank on candidates only — the scale path next to the brute-force
+    knn_embedding baseline."""
+    from nettopologysuite_spark.engine.ann import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(emb, ANN_NQ, ANN_K)
 
 
 def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,27 +383,41 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hull_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed convex hull of the event points (hull-of-partition-hulls);
-    non-SQL-expressible → rows-only driver check + pytest kernel oracle."""
-
-
+    """Distributed convex hull (hull-of-partition-hulls) over the nation
+    octagon vertex cloud; output = hull vertex rows (x, y) so a pure-SQL
+    oracle (O(n²) hull-edge test) can verify values exactly. The same
+    aggregate over the full event table is pytest-gated against the kernel
+    hull (tests/test_engine_ops.py)."""
     from nettopologysuite_spark.engine.aggregates import distributed_convex_hull
-    from nettopologysuite_spark.kernels.geom import wkb_loads, wkt_dumps
+    from nettopologysuite_spark.kernels.geom import wkb_loads
 
-    pts = _event_points(spark, sf_dir)
+    keys = _nation_keys(spark, sf_dir)
+    rows = []
+    for k in keys:
+        for vx, vy in derive.nation_octagon_vertices(k):
+            rows.append((float(vx), float(vy)))
+    pts = spark.createDataFrame(rows, "x double, y double").repartition(8)
     hull = distributed_convex_hull(pts)
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("string")
-    def _wkt(wkb: pd.Series) -> pd.Series:
-        return pd.Series([wkt_dumps(wkb_loads(bytes(b))) for b in wkb])
+    @pandas_udf("array<struct<x:double,y:double>>")
+    def _verts(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            g = wkb_loads(bytes(b))
+            ring = g.rings[0][:-1]  # drop closing duplicate
+            out.append([(float(x), float(y)) for x, y in ring])
+        return pd.Series(out)
 
-    return hull.select(_wkt(F.col("hull_wkb")).alias("hull_wkt"))
+    return (
+        hull.select(F.explode(_verts(F.col("hull_wkb"))).alias("v"))
+        .select(F.col("v.x").alias("x"), F.col("v.y").alias("y"))
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (xxhash64-based → rows-only driver check)."""
+    """SimHash fingerprints (md5-60-bit gram hash → DuckDB-reproducible)."""
     from nettopologysuite_spark.engine.dedup import simhash_fingerprints
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -401,9 +443,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pip_join": q_docs_pip_join,
         "docs_mixed_join": q_docs_mixed_join,
         "poly_poly_join": q_poly_poly_join,
+        "media_stats": q_media_stats,
+        "media_dedup": q_media_dedup,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
         "knn_embedding": q_knn_embedding,
+        "ann_lsh": q_ann_lsh,
         "union_area": q_union_area,
         "zonal_stats": q_zonal_stats,
         "ngram_jaccard": q_ngram_jaccard,
@@ -495,6 +540,80 @@ def _doc_quality_oracle() -> str:
         f"(({n_tokens}) * 1000 + ({n_stop}) * 10 - {n_punct}) AS quality_i "
         f"FROM documents"
     )
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    gh = "CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)"
+    sums = ", ".join(
+        f"SUM(CASE WHEN (gh >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return (
+        _grams_cte()
+        + f", h AS (SELECT doc_id, {gh} AS gh FROM g), "
+        f"v AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, ({fp}) AS simhash FROM v"
+    )
+
+
+def _hull_agg_oracle() -> str:
+    """Strict convex hull vertices of the octagon vertex cloud via the
+    O(n²·n) maximal-hull-edge test (n = 200): (a, b) is a hull edge iff no
+    point lies strictly right of a→b and no collinear point lies beyond the
+    closed segment; vertices = distinct edge endpoints. All cross products
+    exact (integer coordinates)."""
+    tmpl = ", ".join(f"({tx}, {ty})" for tx, ty in derive.OCTAGON)
+    return (
+        f"WITH t(tx, ty) AS (VALUES {tmpl}), "
+        f"v AS (SELECT DISTINCT "
+        f"CAST((10 + (n.n_nationkey % 5) * 20) + (1 + (n.n_nationkey % 2)) * t.tx AS DOUBLE) AS x, "
+        f"CAST((10 + (CAST(FLOOR(n.n_nationkey / 5) AS BIGINT)) * 20) + (1 + (n.n_nationkey % 2)) * t.ty AS DOUBLE) AS y "
+        f"FROM nation n CROSS JOIN t), "
+        f"e AS (SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by "
+        f"FROM v a CROSS JOIN v b WHERE (a.x <> b.x OR a.y <> b.y) AND NOT EXISTS ("
+        f"  SELECT 1 FROM v c WHERE (c.x <> a.x OR c.y <> a.y) AND (c.x <> b.x OR c.y <> b.y) AND ("
+        f"    (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) < 0 OR ("
+        f"     (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0 AND ("
+        f"      c.x < LEAST(a.x, b.x) OR c.x > GREATEST(a.x, b.x) "
+        f"      OR c.y < LEAST(a.y, b.y) OR c.y > GREATEST(a.y, b.y))))))"
+        f"SELECT DISTINCT x, y FROM ("
+        f"  SELECT ax AS x, ay AS y FROM e UNION ALL SELECT bx, by FROM e) u"
+    )
+
+
+def _mixed_join_oracle() -> str:
+    """Per-span-type exact intersect predicates: point → octagon half-plane
+    cover; 2×2 square → rect×octagon SAT; 2-segment polyline → per-segment
+    SAT (segment normal axes (1,-3) and (3,2))."""
+    pt = nation_octagon_sql_pred("p.x", "p.y", "n.n_nationkey")
+    sq = derive.rect_octagon_sql_pred(
+        "(p.x + CAST(1 AS DOUBLE))", "(p.y + CAST(1 AS DOUBLE))", "1", "1",
+        "n.n_nationkey")
+    s1 = derive.seg_octagon_sql_pred(
+        "p.x", "p.y", "(p.x + 3)", "(p.y + 1)", "n.n_nationkey", (1, -3))
+    s2 = derive.seg_octagon_sql_pred(
+        "(p.x + 3)", "(p.y + 1)", "(p.x + 1)", "(p.y + 4)", "n.n_nationkey", (3, 2))
+    pred = (
+        f"CASE WHEN p.did % 20 < 16 THEN {pt} "
+        f"WHEN p.did % 20 < 19 THEN {sq} "
+        f"ELSE ({s1} OR {s2}) END"
+    )
+    return (
+        f"SELECT printf('doc-%012d', p.did) AS doc_id, "
+        f"CAST(1 AS INT) AS span_idx, "
+        f"'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
+        f"FROM {_DOCPTS} p CROSS JOIN nation n WHERE {pred}"
+    )
+
+
+def _ann_oracle() -> str:
+    from nettopologysuite_spark.engine.ann import ann_lsh_oracle_sql
+
+    return ann_lsh_oracle_sql(ANN_NQ, ANN_K)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -619,6 +738,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": _lang_id_oracle(),
         "doc_quality": _doc_quality_oracle(),
+        "simhash": _simhash_oracle(),
+        "ann_lsh": _ann_oracle(),
+        "hull_agg": _hull_agg_oracle(),
+        "docs_mixed_join": _mixed_join_oracle(),
+        "media_stats": (
+            "SELECT printf('doc-%012d', doc_id) AS doc_id, 1 AS n_media, "
+            "source AS media_src, "
+            "md5(lower(trim(printf('media://%s/%d', source, doc_id)))) AS media_fp "
+            "FROM documents"
+        ),
+        "media_dedup": (
+            "SELECT MIN(printf('doc-%012d', doc_id)) AS keep_id, "
+            "COUNT(*) AS n_dups FROM documents "
+            "GROUP BY md5(lower(trim(printf('media://%s/%d', source, doc_id))))"
+        ),
         "fingerprint": (
             "SELECT doc_id, md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) "
             "AS fingerprint FROM documents"

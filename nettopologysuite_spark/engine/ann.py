@@ -1,0 +1,148 @@
+"""Approximate nearest neighbour over embedding columns.
+
+Scale path: random-hyperplane LSH. One linear JVM-side pass computes a
+16-bit signature per vector (sign of ⟨quantized embedding, integer
+hyperplane⟩ — Spark higher-order functions, zero Python), banded into 4×4-bit
+LSH buckets; candidate pairs come from a bucket equi-join against the query
+signatures; the exact cosine re-rank runs only on candidates. At 100 TB this
+is the standard sweep: one scan to signatures, one shuffle-free broadcast
+bucket join (query side is small), exact re-rank on a vanishing fraction.
+
+Everything is exact integer arithmetic on floor(x·1024) quantized values, so
+an external SQL engine reproduces the result bit-for-bit (the driver oracle
+recomputes the same definition; the brute-force kNN bounds its recall in
+pytest). The brute-force baseline lives in ``__spark_entry__.q_knn_embedding``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 16
+BANDS = 4  # 4 bits per band
+_LCG = 2654435761
+
+
+def hyperplanes(dim: int = DIM, n_planes: int = N_PLANES) -> list[list[int]]:
+    """Deterministic small-integer hyperplanes in [-8, 7] (LCG-derived) —
+    embedded as literals in both the Spark plan and the SQL oracle."""
+    return [
+        [(((1 + p * dim + d) * _LCG) % 16) - 8 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def _sig_cols(emb_col: str, planes: list[list[int]]):
+    """One integer column per band: 4 sign bits packed (all JVM codegen)."""
+    bits = []
+    for plane in planes:
+        arr = "array(" + ", ".join(f"{h}D" for h in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({emb_col}, {arr}, "
+            f"(x, h) -> floor(CAST(x AS DOUBLE) * 1024D) * h), 0D, (a, v) -> a + v)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END)")
+    n_per_band = len(planes) // BANDS
+    cols = []
+    for b in range(BANDS):
+        terms = [
+            f"({bits[b * n_per_band + i]} * {1 << i})" for i in range(n_per_band)
+        ]
+        cols.append(F.expr("(" + " + ".join(terms) + ")").alias(f"band{b}"))
+    return cols
+
+
+def ann_lsh_topk(emb: DataFrame, n_queries: int, k: int,
+                 id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Top-k by exact quantized cosine among LSH-bucket candidates of each
+    query (query set = ids < n_queries). Returns (q_id, rank, nbr_id, sim)."""
+    planes = hyperplanes()
+    sig = emb.select(F.col(id_col), F.col(emb_col), *_sig_cols(emb_col, planes))
+    buckets = sig.select(
+        id_col, emb_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("val"))
+            for b in range(BANDS)
+        ])).alias("bk"),
+    ).select(id_col, emb_col, "bk.band", "bk.val")
+    qb = (
+        buckets.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"),
+                "band", "val")
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), ["band", "val"])
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", "q_emb", F.col(id_col).alias("nbr_id"), F.col(emb_col).alias("n_emb"))
+        .dropDuplicates(["q_id", "nbr_id"])
+    )
+    qdot = "aggregate(zip_with(q_emb, n_emb, (x, y) -> floor(CAST(x AS DOUBLE) * 1024D) * floor(CAST(y AS DOUBLE) * 1024D)), 0D, (a, v) -> a + v)"
+    qn = "sqrt(aggregate(transform(q_emb, x -> floor(CAST(x AS DOUBLE) * 1024D)), 0D, (a, v) -> a + v * v))"
+    nn = "sqrt(aggregate(transform(n_emb, x -> floor(CAST(x AS DOUBLE) * 1024D)), 0D, (a, v) -> a + v * v))"
+    scored = cand.withColumn("sim", F.expr(f"({qdot}) / ({qn} * {nn})"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "nbr_id", "sim")
+    )
+
+
+def ann_lsh_oracle_sql(n_queries: int, k: int) -> str:
+    """The identical definition in ANSI SQL (DuckDB) over the embeddings
+    view — bit-for-bit comparable with :func:`ann_lsh_topk`."""
+    planes = hyperplanes()
+    n_per_band = len(planes) // BANDS
+
+    def sig_expr(tbl: str) -> list[str]:
+        bits = []
+        for plane in planes:
+            arr = "[" + ", ".join(f"CAST({h} AS DOUBLE)" for h in plane) + "]"
+            dot = (
+                f"list_sum(list_transform(list_zip(list_transform({tbl}.embedding, "
+                f"x -> floor(CAST(x AS DOUBLE) * 1024)), {arr}), p -> p[1] * p[2]))"
+            )
+            bits.append(f"(CASE WHEN COALESCE({dot}, 0) >= 0 THEN 1 ELSE 0 END)")
+        return [
+            "(" + " + ".join(
+                f"({bits[b * n_per_band + i]} * {1 << i})" for i in range(n_per_band)
+            ) + ")"
+            for b in range(BANDS)
+        ]
+
+    e_bands = sig_expr("e")
+    band_rows = ", ".join(
+        f"({b}, {e_bands[b]})" for b in range(BANDS)
+    )
+    return (
+        "WITH s AS (SELECT e.vec_id, e.embedding, "
+        + ", ".join(f"{e_bands[b]} AS band{b}" for b in range(BANDS))
+        + " FROM embeddings e), "
+        "bk AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, embedding, {b} AS band, band{b} AS val FROM s"
+            for b in range(BANDS)
+        )
+        + "), "
+        f"qb AS (SELECT vec_id AS q_id, embedding AS q_emb, band, val FROM bk "
+        f"WHERE vec_id < {n_queries}), "
+        "cand AS (SELECT DISTINCT qb.q_id, qb.q_emb, bk.vec_id AS nbr_id, "
+        "bk.embedding AS n_emb FROM bk JOIN qb ON bk.band = qb.band "
+        "AND bk.val = qb.val AND bk.vec_id <> qb.q_id), "
+        "scored AS (SELECT q_id, nbr_id, "
+        "  list_sum(list_transform(list_zip("
+        "    list_transform(q_emb, x -> floor(CAST(x AS DOUBLE) * 1024)), "
+        "    list_transform(n_emb, x -> floor(CAST(x AS DOUBLE) * 1024))), "
+        "    p -> p[1] * p[2])) "
+        "  / (sqrt(list_sum(list_transform(q_emb, x -> floor(CAST(x AS DOUBLE) * 1024) * floor(CAST(x AS DOUBLE) * 1024)))) "
+        "   * sqrt(list_sum(list_transform(n_emb, x -> floor(CAST(x AS DOUBLE) * 1024) * floor(CAST(x AS DOUBLE) * 1024))))) AS sim "
+        "FROM cand) "
+        f"SELECT q_id, rank, nbr_id, sim FROM ("
+        f"SELECT q_id, nbr_id, sim, ROW_NUMBER() OVER ("
+        f"PARTITION BY q_id ORDER BY sim DESC, nbr_id ASC) AS rank FROM scored) t "
+        f"WHERE rank <= {k}"
+    )

@@ -177,12 +177,17 @@ def minhash_lsh_pairs(
     return verified.where(F.col("ni") * 100 >= F.col("nu") * threshold_pct)
 
 
-def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = 64,
+def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = 60,
                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc: majority vote per bit over gram hashes —
-    expressed natively as 64 conditional-sum aggregates."""
+    """SimHash per doc: majority vote per bit over gram hashes — expressed
+    natively as one conditional-sum aggregate per bit. The gram hash is the
+    first 60 bits of md5 (15 hex digits → BIGINT), which any SQL engine
+    reproduces bit-for-bit (DuckDB: CAST('0x'||substr(md5(g),1,15) AS
+    BIGINT)) — xxhash64 would be Spark-only."""
     grams = char_ngrams(docs, n, text_col, id_col)
-    h = grams.withColumn("gh", F.xxhash64("gram"))
+    h = grams.withColumn(
+        "gh", F.expr("CAST(CONV(SUBSTRING(md5(gram), 1, 15), 16, 10) AS BIGINT)")
+    )
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("gh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -165,6 +165,42 @@ def rect_octagon_sql_pred(x: str, y: str, w: str, h: str, nk: str) -> str:
     return "(" + " AND ".join(conds) + ")"
 
 
+_OCT_NORMALS = [(3, 1), (1, 3), (1, -3), (3, -1)]  # edge normals of OCTAGON
+
+
+def _oct_radius(ax: int, ay: int) -> int:
+    """max |(ax,ay)·t| over the template vertices (octagon half-projection
+    per unit scale)."""
+    return max(abs(ax * tx + ay * ty) for tx, ty in OCTAGON)
+
+
+def seg_octagon_sql_pred(x1: str, y1: str, x2: str, y2: str, nk: str,
+                         seg_normal: tuple[int, int]) -> str:
+    """SQL predicate: the segment ({x1},{y1})→({x2},{y2}) INTERSECTS nation
+    {nk}'s octagon (boundary-inclusive). Separating-axis test over the
+    octagon's 4 edge normals plus the segment's own normal (which the caller
+    supplies as constant integers — our derived segments have fixed
+    directions). Exact: all multipliers ≤ 4, coordinates ≤ 27 significand
+    bits."""
+    cx = f"(10 + ({nk} % 5) * 20)"
+    cy = f"(10 + (CAST(FLOOR({nk} / 5) AS BIGINT)) * 20)"
+    s = f"(1 + ({nk} % 2))"
+    conds = []
+    axes = list(_OCT_NORMALS)
+    if seg_normal not in axes and (-seg_normal[0], -seg_normal[1]) not in axes:
+        axes.append(seg_normal)
+    for ax, ay in axes:
+        rad = _oct_radius(ax, ay)
+        octc = f"({ax} * {cx} + {ay} * {cy})"
+        p1 = f"({ax} * ({x1}) + {ay} * ({y1}))"
+        p2 = f"({ax} * ({x2}) + {ay} * ({y2}))"
+        conds.append(
+            f"(GREATEST({p1}, {p2}) >= {octc} - {rad} * {s} "
+            f"AND LEAST({p1}, {p2}) <= {octc} + {rad} * {s})"
+        )
+    return "(" + " AND ".join(conds) + ")"
+
+
 def nation_radius(nk: int) -> float:
     return float(5 + (nk % 3) * 2)
 

@@ -28,15 +28,20 @@ def test_distributed_union_matches_kernel(spark):
 
 
 def test_distributed_hull_matches_kernel(spark, sf_dir):
+    """Big-data path: distributed hull of ALL event points == kernel hull
+    (the oracle-gated q_hull_agg runs the same aggregate over the octagon
+    vertex cloud, which a pure-SQL oracle can verify)."""
     import __spark_entry__ as E
+    from nettopologysuite_spark.engine.aggregates import distributed_convex_hull
     from nettopologysuite_spark.engine.derive import points_numpy
-    from nettopologysuite_spark.kernels.geom import wkt_loads
+    from nettopologysuite_spark.kernels.geom import polygon as mk_polygon
+    from nettopologysuite_spark.kernels.geom import wkb_loads
     from nettopologysuite_spark.kernels.hull import hull_coords
     from nettopologysuite_spark.kernels.normalize import equals_normalized
-    from nettopologysuite_spark.kernels.geom import polygon as mk_polygon
 
-    hull_wkt = E.q_hull_agg(spark, sf_dir).collect()[0][0]
-    got = wkt_loads(hull_wkt)
+    pts = E._event_points(spark, sf_dir)
+    hull_wkb = distributed_convex_hull(pts).collect()[0][0]
+    got = wkb_loads(bytes(hull_wkb))
     ids = np.arange(1000)
     x, y = points_numpy(ids)
     expect = mk_polygon(hull_coords(np.stack([x, y], axis=1)))

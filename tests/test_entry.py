@@ -29,7 +29,7 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"doc_id", "poly_id"}
 
 
-ROWS_ONLY = {"hull_agg", "simhash", "docs_mixed_join"}  # non-SQL-expressible
+ROWS_ONLY: set[str] = set()  # every query now has a DuckDB oracle
 
 
 def test_queries_have_oracles_or_documented_skip():
