@@ -218,6 +218,24 @@ def q_poly_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pid", "poly_id")
 
 
+def q_geo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate-level near-dup removal: grid-snap clustering (cell 0.5) —
+    the distributed form of KdTree snap-tolerance insertion
+    (Index/KdTree/KdTree.cs; the exact kernel is pytest-gated). One hash
+    shuffle; representative = min pid per snap cell."""
+    pts = _event_points(spark, sf_dir)
+    snapped = pts.select(
+        "pid",
+        F.floor(F.col("x") * 2).cast("long").alias("sx"),
+        F.floor(F.col("y") * 2).cast("long").alias("sy"),
+    )
+    return (
+        snapped.groupBy("sx", "sy")
+        .agg(F.min("pid").alias("keep_pid"), F.count("*").alias("n_pts"))
+        .select("sx", "sy", "keep_pid", "n_pts")
+    )
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-span stats over the interleaved docs table (native array
     expressions; spans never explode-and-regroup)."""
@@ -445,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_poly_join": q_poly_poly_join,
         "media_stats": q_media_stats,
         "media_dedup": q_media_dedup,
+        "geo_dedup": q_geo_dedup,
         "dedup_exact": q_dedup_exact,
         "doc_stats": q_doc_stats,
         "knn_embedding": q_knn_embedding,
@@ -752,6 +771,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(printf('doc-%012d', doc_id)) AS keep_id, "
             "COUNT(*) AS n_dups FROM documents "
             "GROUP BY md5(lower(trim(printf('media://%s/%d', source, doc_id))))"
+        ),
+        "geo_dedup": (
+            f"SELECT CAST(FLOOR(x * 2) AS BIGINT) AS sx, "
+            f"CAST(FLOOR(y * 2) AS BIGINT) AS sy, "
+            f"MIN(pid) AS keep_pid, COUNT(*) AS n_pts "
+            f"FROM {_PTS} p GROUP BY 1, 2"
         ),
         "fingerprint": (
             "SELECT doc_id, md5(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) "

@@ -29,9 +29,9 @@ _MOD = 1048576  # 2^20
 EXTENT = 100.0
 
 
-def points_sql(table: str, id_col: str, pid_alias: str = "pid") -> str:
-    """SQL producing (pid, x, y) from an integer id column — valid in both
-    Spark SQL and DuckDB, bit-identical results."""
+def point_exprs_sql(id_col: str) -> tuple[str, str]:
+    """(x, y) SQL expressions deriving the point from an integer id column —
+    valid in both Spark SQL and DuckDB, bit-identical results."""
     # CAST(... AS DOUBLE) everywhere: DuckDB would otherwise type a literal
     # like 1048576.0 as DECIMAL and silently round the derived coordinates.
     mod = f"CAST({_MOD} AS DOUBLE)"
@@ -41,10 +41,17 @@ def points_sql(table: str, id_col: str, pid_alias: str = "pid") -> str:
     # non-ANSI would wrap silently while DuckDB raises; this keeps both exact)
     rid = f"({id_col} % {_MOD})"
     return (
-        f"SELECT {id_col} AS {pid_alias}, "
-        f"CAST(({rid} * {_AX}) % {_MOD} AS DOUBLE) / {mod} * {ext} AS x, "
-        f"CAST((({rid} * {_AY}) + {_CY}) % {_MOD} AS DOUBLE) / {mod} * {ext} AS y "
-        f"FROM {table}"
+        f"(CAST(({rid} * {_AX}) % {_MOD} AS DOUBLE) / {mod} * {ext})",
+        f"(CAST((({rid} * {_AY}) + {_CY}) % {_MOD} AS DOUBLE) / {mod} * {ext})",
+    )
+
+
+def points_sql(table: str, id_col: str, pid_alias: str = "pid") -> str:
+    """SQL producing (pid, x, y) from an integer id column — valid in both
+    Spark SQL and DuckDB, bit-identical results."""
+    xe, ye = point_exprs_sql(id_col)
+    return (
+        f"SELECT {id_col} AS {pid_alias}, {xe} AS x, {ye} AS y FROM {table}"
     )
 
 

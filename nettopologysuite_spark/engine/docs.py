@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..kernels.cells import Grid
-from .derive import points_sql
 from .polygons import PolygonPack
 from .joins import pip_join_points
 
@@ -33,12 +32,15 @@ SPAN_SCHEMA = "array<struct<kind:string,text:string,media_ref:string,offset:int>
 
 def synthesize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → docs(doc_id, spans) with interleaved
-    text / media / geom spans. Pure native expressions (codegen'd)."""
+    text / media / geom spans. Pure native expressions (codegen'd) — the
+    geometry coordinates are INLINE projections of the shared LCG
+    derivation (no self-join; one scan, zero shuffles)."""
+    from .derive import point_exprs_sql
+
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("_nts_documents")
-    pts = spark.sql(points_sql("_nts_documents", "doc_id", "did"))
-    pts.createOrReplaceTempView("_nts_doc_pts")
+    xe, ye = point_exprs_sql("d.doc_id")
     return spark.sql(
-        """
+        f"""
         SELECT format_string('doc-%012d', d.doc_id) AS doc_id,
                array(
                  named_struct('kind', 'text', 'text', d.text,
@@ -48,11 +50,11 @@ def synthesize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               'media_ref', format_string('media://%s/%d', d.source, d.doc_id),
                               'offset', CAST(length(d.text) AS INT)),
                  named_struct('kind', 'geom',
-                              'text', format_string('POINT (%s %s)', p.x, p.y),
+                              'text', format_string('POINT (%s %s)', {xe}, {ye}),
                               'media_ref', CAST(NULL AS STRING),
                               'offset', CAST(length(d.text) + 1 AS INT))
                ) AS spans
-        FROM _nts_documents d JOIN _nts_doc_pts p ON d.doc_id = p.did
+        FROM _nts_documents d
         """
     )
 
@@ -109,11 +111,12 @@ def synthesize_docs_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs table whose geom spans mix points (~80%), small squares (~15%)
     and 2-segment linestrings (~5%), per FIXTURES.md §1 — all WKT built
     natively from the shared LCG derivation."""
+    from .derive import point_exprs_sql
+
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("_nts_documents")
-    pts = spark.sql(points_sql("_nts_documents", "doc_id", "did"))
-    pts.createOrReplaceTempView("_nts_doc_pts")
+    xe, ye = point_exprs_sql("d.doc_id")
     return spark.sql(
-        """
+        f"""
         SELECT format_string('doc-%012d', d.doc_id) AS doc_id,
                array(
                  named_struct('kind', 'text', 'text', d.text,
@@ -121,19 +124,19 @@ def synthesize_docs_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  named_struct('kind', 'geom',
                    'text',
                    CASE WHEN d.doc_id % 20 < 16 THEN
-                     format_string('POINT (%s %s)', p.x, p.y)
+                     format_string('POINT (%s %s)', {xe}, {ye})
                    WHEN d.doc_id % 20 < 19 THEN
                      format_string('POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))',
-                       p.x, p.y, p.x + 2.0, p.y, p.x + 2.0, p.y + 2.0,
-                       p.x, p.y + 2.0, p.x, p.y)
+                       {xe}, {ye}, {xe} + 2.0, {ye}, {xe} + 2.0, {ye} + 2.0,
+                       {xe}, {ye} + 2.0, {xe}, {ye})
                    ELSE
                      format_string('LINESTRING (%s %s, %s %s, %s %s)',
-                       p.x, p.y, p.x + 3.0, p.y + 1.0, p.x + 1.0, p.y + 4.0)
+                       {xe}, {ye}, {xe} + 3.0, {ye} + 1.0, {xe} + 1.0, {ye} + 4.0)
                    END,
                    'media_ref', CAST(NULL AS STRING),
                    'offset', CAST(length(d.text) AS INT))
                ) AS spans
-        FROM _nts_documents d JOIN _nts_doc_pts p ON d.doc_id = p.did
+        FROM _nts_documents d
         """
     )
 

@@ -167,6 +167,28 @@ def build_registry() -> dict:
 
 
     @pandas_udf("binary")
+    def st_simplify_tp(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+        from ..kernels.simplify_tp import simplify_tp
+
+        return pd.Series(
+            [
+                None if g is None else wkb_dumps(simplify_tp(g, float(t)))
+                for g, t in zip(_geoms(wkb), tol)
+            ]
+        )
+
+    @pandas_udf("binary")
+    def st_simplify_vw(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+        from ..kernels.simplify_tp import simplify_vw
+
+        return pd.Series(
+            [
+                None if g is None else wkb_dumps(simplify_vw(g, float(t)))
+                for g, t in zip(_geoms(wkb), tol)
+            ]
+        )
+
+    @pandas_udf("binary")
     def st_densify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
         return pd.Series(
             [
@@ -194,6 +216,136 @@ def build_registry() -> dict:
         return pd.Series(out)
 
 
+    @pandas_udf("struct<cx:double,cy:double,radius:double>")
+    def st_min_bounding_circle(wkb: pd.Series) -> pd.DataFrame:
+        from ..kernels.construct import minimum_bounding_circle
+
+        rows = []
+        for g in _geoms(wkb):
+            c = None if g is None else minimum_bounding_circle(g)
+            rows.append((None, None, None) if c is None else c)
+        return pd.DataFrame(rows, columns=["cx", "cy", "radius"])
+
+    @pandas_udf("struct<cx:double,cy:double,radius:double>")
+    def st_max_inscribed_circle(wkb: pd.Series, tol: pd.Series) -> pd.DataFrame:
+        from ..kernels.construct import maximum_inscribed_circle
+
+        rows = []
+        for g, t in zip(_geoms(wkb), tol):
+            rows.append(
+                (None, None, None) if g is None
+                else maximum_inscribed_circle(g, float(t))
+            )
+        return pd.DataFrame(rows, columns=["cx", "cy", "radius"])
+
+    @pandas_udf("double")
+    def st_frechet(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..kernels.construct import discrete_frechet
+
+        return pd.Series(
+            [
+                None if x is None or y is None else discrete_frechet(x, y)
+                for x, y in zip(_geoms(a), _geoms(b))
+            ]
+        )
+
+    @pandas_udf("double")
+    def st_hausdorff(a: pd.Series, b: pd.Series) -> pd.Series:
+        from ..kernels.buffer import discrete_hausdorff
+
+        return pd.Series(
+            [
+                None if x is None or y is None else discrete_hausdorff(x, y)
+                for x, y in zip(_geoms(a), _geoms(b))
+            ]
+        )
+
+    @pandas_udf("binary")
+    def st_line_interpolate_point(wkb: pd.Series, frac: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..kernels.geom import POINT, Geom
+        from ..kernels.linearref import extract_point, total_length
+
+        out = []
+        for g, f in zip(_geoms(wkb), frac):
+            if g is None:
+                out.append(None)
+                continue
+            p = extract_point(g, float(f) * total_length(g))
+            out.append(wkb_dumps(Geom(POINT, coords=np.array([p]))))
+        return pd.Series(out)
+
+    @pandas_udf("binary")
+    def st_line_substring(wkb: pd.Series, f0: pd.Series, f1: pd.Series) -> pd.Series:
+        from ..kernels.linearref import extract_line, total_length
+
+        out = []
+        for g, a, b in zip(_geoms(wkb), f0, f1):
+            if g is None:
+                out.append(None)
+                continue
+            tot = total_length(g)
+            out.append(wkb_dumps(extract_line(g, float(a) * tot, float(b) * tot)))
+        return pd.Series(out)
+
+    @pandas_udf("double")
+    def st_line_locate_point(line: pd.Series, pt: pd.Series) -> pd.Series:
+        from ..kernels.linearref import index_of, total_length
+
+        out = []
+        for g, p in zip(_geoms(line), _geoms(pt)):
+            if g is None or p is None or p.coords is None or not len(p.coords):
+                out.append(None)
+                continue
+            tot = total_length(g)
+            out.append(
+                index_of(g, float(p.coords[0, 0]), float(p.coords[0, 1])) / tot
+                if tot > 0 else 0.0
+            )
+        return pd.Series(out)
+
+    @pandas_udf("binary")
+    def st_line_merge(wkb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..kernels.geom import LINESTRING, Geom
+        from ..kernels.overlay import build_geometry, merge_lines
+
+        out = []
+        for g in _geoms(wkb):
+            if g is None:
+                out.append(None)
+                continue
+            segs = []
+            for leaf in g.flatten():
+                if leaf.gtype == LINESTRING and leaf.coords is not None:
+                    c = leaf.coords
+                    for i in range(len(c) - 1):
+                        segs.append((
+                            (float(c[i, 0]), float(c[i, 1])),
+                            (float(c[i + 1, 0]), float(c[i + 1, 1])),
+                        ))
+            lines = merge_lines(segs)
+            parts = [Geom(LINESTRING, coords=np.asarray(l)) for l in lines if len(l) >= 2]
+            out.append(wkb_dumps(build_geometry(parts, 1)))
+        return pd.Series(out)
+
+    @pandas_udf("binary")
+    def st_affine(wkb: pd.Series, m00: pd.Series, m01: pd.Series, m02: pd.Series,
+                  m10: pd.Series, m11: pd.Series, m12: pd.Series) -> pd.Series:
+        from ..kernels.affine import AffineTransformation
+
+        out = []
+        for g, a, b, c, d, e, f in zip(_geoms(wkb), m00, m01, m02, m10, m11, m12):
+            if g is None:
+                out.append(None)
+                continue
+            t = AffineTransformation(float(a), float(b), float(c),
+                                     float(d), float(e), float(f))
+            out.append(wkb_dumps(t.transform(g)))
+        return pd.Series(out)
+
     registry = {
         "ST_GeomFromText": st_geomfromtext,
         "ST_AsText": st_astext,
@@ -207,6 +359,8 @@ def build_registry() -> dict:
         "ST_Buffer": st_buffer,
         "ST_BufferStyle": st_buffer_style,
         "ST_Simplify": st_simplify,
+        "ST_SimplifyTP": st_simplify_tp,
+        "ST_SimplifyVW": st_simplify_vw,
         "ST_Densify": st_densify,
         "ST_Distance": st_distance,
         "ST_Relate": st_relate,
@@ -220,6 +374,15 @@ def build_registry() -> dict:
         "ST_Overlaps": _binary_bool("overlaps"),
         "ST_Disjoint": _binary_bool("disjoint"),
         "ST_Equals": _binary_bool("equalstopo"),
+        "ST_MinimumBoundingCircle": st_min_bounding_circle,
+        "ST_MaximumInscribedCircle": st_max_inscribed_circle,
+        "ST_FrechetDistance": st_frechet,
+        "ST_HausdorffDistance": st_hausdorff,
+        "ST_LineInterpolatePoint": st_line_interpolate_point,
+        "ST_LineSubstring": st_line_substring,
+        "ST_LineLocatePoint": st_line_locate_point,
+        "ST_LineMerge": st_line_merge,
+        "ST_Affine": st_affine,
         "ST_Intersection": _binary_geom("intersection"),
         "ST_Union": _binary_geom("union"),
         "ST_Difference": _binary_geom("difference"),

@@ -210,8 +210,12 @@ def interior_point(g: Geom) -> tuple[float, float] | None:
             y0 = (float(lo.max()) + float(hi.min())) * 0.5
         elif len(lo):
             y0 = (float(lo.max()) + y0) * 0.5
-        else:
+        elif len(hi):
             y0 = (y0 + float(hi.min())) * 0.5
+        else:
+            # degenerate: all vertices on one horizontal line (zero area)
+            c = leaf.rings[0]
+            return (float(c[0, 0]), float(c[0, 1]))
     xs = []
     for r in leaf.rings:
         x1, y1 = r[:-1, 0], r[:-1, 1]

@@ -162,6 +162,11 @@ def run_op(c, op):  # noqa: C901
 
         got = simplify_dp(g1, float(op.arg3))
         return True, equals_normalized(got, wkt_loads(op.expected)), got
+    if op.op == "simplifytp":
+        from nettopologysuite_spark.kernels.simplify_tp import simplify_tp
+
+        got = simplify_tp(g1, float(op.arg3))
+        return True, equals_normalized(got, wkt_loads(op.expected)), got
     if op.op == "isvalid":
         from nettopologysuite_spark.kernels.valid import is_valid
 
