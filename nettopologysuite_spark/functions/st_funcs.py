@@ -346,6 +346,33 @@ def build_registry() -> dict:
             out.append(wkb_dumps(t.transform(g)))
         return pd.Series(out)
 
+    @pandas_udf("binary")
+    def st_delaunay(wkb: pd.Series) -> pd.Series:
+        from ..kernels.triangulate import delaunay_triangles
+
+        return pd.Series(
+            [None if g is None else wkb_dumps(delaunay_triangles(g)) for g in _geoms(wkb)]
+        )
+
+    @pandas_udf("binary")
+    def st_voronoi(wkb: pd.Series) -> pd.Series:
+        from ..kernels.triangulate import voronoi_diagram
+
+        return pd.Series(
+            [None if g is None else wkb_dumps(voronoi_diagram(g)) for g in _geoms(wkb)]
+        )
+
+    @pandas_udf("binary")
+    def st_offset_curve(wkb: pd.Series, dist: pd.Series) -> pd.Series:
+        from ..kernels.offset import offset_curve
+
+        return pd.Series(
+            [
+                None if g is None else wkb_dumps(offset_curve(g, float(d)))
+                for g, d in zip(_geoms(wkb), dist)
+            ]
+        )
+
     registry = {
         "ST_GeomFromText": st_geomfromtext,
         "ST_AsText": st_astext,
@@ -374,6 +401,9 @@ def build_registry() -> dict:
         "ST_Overlaps": _binary_bool("overlaps"),
         "ST_Disjoint": _binary_bool("disjoint"),
         "ST_Equals": _binary_bool("equalstopo"),
+        "ST_DelaunayTriangles": st_delaunay,
+        "ST_VoronoiPolygons": st_voronoi,
+        "ST_OffsetCurve": st_offset_curve,
         "ST_MinimumBoundingCircle": st_min_bounding_circle,
         "ST_MaximumInscribedCircle": st_max_inscribed_circle,
         "ST_FrechetDistance": st_frechet,

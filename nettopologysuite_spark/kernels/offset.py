@@ -688,6 +688,39 @@ def buffer_curves(g: Geom, dist: float, params: BufferParams) -> list[np.ndarray
     return curves
 
 
+def offset_curve(g: Geom, dist: float, params: BufferParams | None = None) -> Geom:
+    """Raw offset curve of linework (Operation/Buffer/OffsetCurve.cs:66-99
+    semantics: positive distance = LEFT of the travel direction). Joins and
+    the input simplifier follow the buffer parameters; no end caps."""
+    from .overlay import build_geometry
+
+    params = params or BufferParams()
+    if dist == 0.0 or g.is_empty:
+        return Geom(LINESTRING, coords=np.empty((0, 2)))
+    side = -1 if dist > 0 else +1  # walker: +1 = right of travel
+    d = abs(dist)
+    parts = []
+    for leaf in g.flatten():
+        if leaf.gtype != LINESTRING or leaf.coords is None:
+            continue
+        pts = _dedupe_pts(leaf.coords)
+        if len(pts) < 2:
+            continue
+        closed = len(pts) >= 4 and (pts[0] == pts[-1]).all()
+        if closed:
+            c = ring_curve(pts, d, params, side=side)
+            if c is not None:
+                parts.append(Geom(LINESTRING, coords=c))
+        else:
+            tol = d * params.simplify_factor
+            simp = _simplify_for_side(pts, tol, side, is_ring=False)
+            w = _CurveWalker(d, side, params)
+            w.walk(simp, closed=False)
+            if len(w.pts) >= 2:
+                parts.append(Geom(LINESTRING, coords=np.array(w.pts)))
+    return build_geometry(parts, 1)
+
+
 def buffer_styled(g: Geom, dist: float, params: BufferParams | None = None) -> Geom:
     """Buffer with full style parameters (the BufferOp entry point)."""
     from .buffer import make_valid_area
