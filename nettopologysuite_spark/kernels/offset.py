@@ -44,11 +44,7 @@ class BufferParams:
     end_cap: str = CAP_ROUND
     join: str = JOIN_ROUND
     mitre_limit: float = 5.0
-    # BufferParameters.cs:49 uses 0.01; this simplifier's circular fixpoint
-    # deletes more vertices per tolerance unit than the reference's sliding
-    # window, so the default factor is lowered to keep the simplification
-    # drift (and hence result error) inside the reference matcher bounds.
-    simplify_factor: float = 0.002
+    simplify_factor: float = 0.01  # BufferParameters.cs:49 default
 
 
 # ---------------------------------------------------------------------------
@@ -62,54 +58,58 @@ def _simplify_for_side(pts: np.ndarray, tol: float, s: int, is_ring: bool) -> np
     End segments of open lines are never simplified."""
     if tol <= 0.0 or len(pts) < (4 if is_ring else 3):
         return pts
-    p = pts[:-1].copy() if is_ring else pts.copy()
+    # operate on the FULL array including the ring-closure duplicate, exactly
+    # like the reference: windows never wrap the ring seam, so the seam
+    # vertex is never deleted (BufferInputLineSimplifier.DeleteShallowConcavities)
+    p = pts
     n = len(p)
     alive = np.ones(n, dtype=bool)
+
+    def nxt(i: int) -> int:
+        j = i + 1
+        while j < n - 1 and not alive[j]:
+            j += 1
+        return j
 
     def shallow(i0: int, i1: int, i2: int) -> bool:
         a, b, q = p[i0], p[i2], p[i1]
         return _pt_seg_dist((q[0], q[1]), (a[0], a[1]), (b[0], b[1])) < tol
 
     def shallow_sampled(i0: int, i2: int) -> bool:
-        # IsShallowSampled (BufferInputLineSimplifier.cs): every n'th ORIGINAL
-        # point of the skipped section must stay within tol of the new chord —
-        # prevents incremental deletion from drifting past the tolerance
-        span = (i2 - i0) % n if is_ring else i2 - i0
-        inc = max(span // 10, 1)
-        k = i0
-        for _ in range(0, span, inc):
-            if not shallow(i0, k % n, i2):
+        # IsShallowSampled: every n'th ORIGINAL point of the skipped section
+        # must stay within tol of the new chord — prevents incremental
+        # deletion from drifting past the tolerance
+        inc = max((i2 - i0) // 10, 1)
+        for k in range(i0, i2, inc):
+            if not shallow(i0, k, i2):
                 return False
-            k += inc
         return True
 
+    def deletable(i0: int, i1: int, i2: int) -> bool:
+        ux, uy = p[i1, 0] - p[i0, 0], p[i1, 1] - p[i0, 1]
+        vx, vy = p[i2, 0] - p[i1, 0], p[i2, 1] - p[i1, 1]
+        cross = ux * vy - uy * vx
+        if cross * s >= 0.0:
+            return False  # outside turn (or straight) — keep
+        return shallow(i0, i1, i2) and shallow_sampled(i0, i2)
+
     changed = True
-    while changed and alive.sum() > (3 if is_ring else 2):
+    while changed:
         changed = False
-        idx = np.flatnonzero(alive)
-        m = len(idx)
-        start = 0 if is_ring else 1
-        stop = m if is_ring else m - 1
-        for k in range(start, stop):
-            i0 = idx[(k - 1) % m]
-            i1 = idx[k]
-            i2 = idx[(k + 1) % m]
-            if not alive[i1] or not alive[i0] or not alive[i2]:
-                continue
-            if not is_ring and (i1 == 0 or i1 == n - 1):
-                continue
-            ux, uy = p[i1, 0] - p[i0, 0], p[i1, 1] - p[i0, 1]
-            vx, vy = p[i2, 0] - p[i1, 0], p[i2, 1] - p[i1, 1]
-            cross = ux * vy - uy * vx
-            if cross * s >= 0.0:
-                continue  # outside turn (or straight) — keep
-            if shallow(i0, i1, i2) and shallow_sampled(i0, i2):
-                alive[i1] = False
+        index = 0 if is_ring else 1
+        mid = nxt(index)
+        last = nxt(mid)
+        while last < n:
+            deleted = False
+            if deletable(index, mid, last):
+                alive[mid] = False
+                deleted = True
                 changed = True
-        if alive.sum() < (3 if is_ring else 2):
-            break
+            index = last if deleted else mid
+            mid = nxt(index)
+            last = nxt(mid)
     out = p[alive]
-    if is_ring:
+    if is_ring and (out[0] != out[-1]).any():
         out = np.vstack([out, out[:1]])
     return out
 
@@ -316,6 +316,33 @@ class _CurveWalker:
         self.add(B)
 
 
+def _dist_to_ring(p, ring: np.ndarray) -> float:
+    best = math.inf
+    for i in range(len(ring) - 1):
+        best = min(best, _pt_seg_dist(p, (ring[i, 0], ring[i, 1]),
+                                      (ring[i + 1, 0], ring[i + 1, 1])))
+    return best
+
+
+def _is_ring_curve_inverted(ring: np.ndarray, d: float, curve: np.ndarray) -> bool:
+    """BufferCurveSetBuilder.IsRingCurveInverted (jts#472): a small ring whose
+    offset curve carries NO point near the buffer distance has fully inverted
+    (inside-out) and would create an incorrect hole/shell — discard it."""
+    if d == 0.0 or len(ring) <= 4 or len(ring) >= 10:
+        return False
+    if len(curve) > 4 * len(ring):
+        return False
+    tol = 0.99 * abs(d)
+    for i in range(len(curve) - 1):
+        if _dist_to_ring((curve[i, 0], curve[i, 1]), ring) > tol:
+            return False
+        mid = ((curve[i, 0] + curve[i + 1, 0]) * 0.5,
+               (curve[i, 1] + curve[i + 1, 1]) * 0.5)
+        if _dist_to_ring(mid, ring) > tol:
+            return False
+    return True
+
+
 def ring_curve(ring: np.ndarray, d: float, params: BufferParams, side: int) -> np.ndarray | None:
     """Directed closed offset curve of a closed ring (first == last) at
     |d| on ``side`` (+1 right of travel, -1 left), traversal preserved.
@@ -332,7 +359,10 @@ def ring_curve(ring: np.ndarray, d: float, params: BufferParams, side: int) -> n
     pts = w.pts
     if pts[0] != pts[-1]:
         pts = pts + [pts[0]]
-    return np.array(pts, dtype=np.float64)
+    curve = np.array(pts, dtype=np.float64)
+    if _is_ring_curve_inverted(ring, d, curve):
+        return None
+    return curve
 
 
 def line_curve(line: np.ndarray, d: float, params: BufferParams) -> np.ndarray | None:
@@ -613,20 +643,31 @@ def _dedupe_pts(pts: np.ndarray) -> np.ndarray:
     return pts[keep]
 
 
-def buffer_curves(g: Geom, dist: float, params: BufferParams) -> list[np.ndarray]:
-    """Directed offset curves whose positive-winding region is buffer(g, d)."""
-    from .buffer import make_valid_area
+def _ring_area2(r: np.ndarray) -> float:
+    if len(r) < 4:
+        return 0.0
+    return float(np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]))
 
+
+def buffer_curves(g: Geom, dist: float, params: BufferParams) -> list[np.ndarray]:
+    """Directed offset curves whose positive-winding region is buffer(g, d).
+
+    Polygon rings are buffered RAW (no valid-area rebuild): a self-
+    overlapping ring's curve winds 2 over the doubled region, so the
+    positive-winding extraction reproduces the reference's NONZERO-winding
+    depth semantics on invalid inputs (BufferSubgraph depth labeling —
+    failure/TestBufferFailure.xml is exactly this case; an even-odd rebuild
+    would turn the doubled region into a spurious hole)."""
     curves: list[np.ndarray] = []
     for poly_leaf in g.flatten():
         if poly_leaf.gtype != POLYGON or not poly_leaf.rings:
             continue
-        area = make_valid_area(poly_leaf)
-        if area.is_empty:
+        rings = [_dedupe_pts(r) for r in poly_leaf.rings]
+        shell = rings[0] if rings else None
+        if shell is None or len(shell) < 4 or _ring_area2(shell) == 0.0:
             # zero-area polygon: its rings still buffer as linework
             if dist > 0.0:
-                for r in poly_leaf.rings:
-                    r = _dedupe_pts(r)
+                for r in rings:
                     c = None
                     if len(r) >= 4:
                         c = ring_curve(r, dist, params, side=+1)
@@ -636,36 +677,40 @@ def buffer_curves(g: Geom, dist: float, params: BufferParams) -> list[np.ndarray
                     if c is not None:
                         curves.append(c)
             continue
-        for leaf in area.flatten():
-            if leaf.gtype != POLYGON or not leaf.rings:
+        # Rings are processed AS STORED (the reference flips the offset side
+        # for reversed rings rather than reversing the array — simplifier
+        # deletion order matters for bit-level parity with its fixtures);
+        # curves from non-canonical rings are reversed afterwards so winding
+        # stays +1 over added regions / −1 over holes. Canonical = shell CCW,
+        # holes CW (interior on the LEFT of travel).
+        if dist < 0.0 and _fully_eroded(shell, dist):
+            continue  # polygon fully eroded
+
+        # Erosion runs UNSIMPLIFIED: the reference's recorded erosion outputs
+        # (misc/TestBufferExternal2.xml, 100 cases) match the exact inward
+        # offset bit-for-close — input simplification visibly shifts thin
+        # eroded cores and breaks fixture parity (measured: sf=0 → sd 0.0).
+        ring_params = params if dist > 0.0 else (
+            BufferParams(quad_segs=params.quad_segs, end_cap=params.end_cap,
+                         join=params.join, mitre_limit=params.mitre_limit,
+                         simplify_factor=0.0)
+        )
+
+        def _add_ring_curve(r: np.ndarray, is_shell: bool):
+            canonical = is_ccw(r) == is_shell
+            side = +1 if dist > 0.0 else -1
+            walk_side = side if canonical else -side
+            c = ring_curve(r, dist, ring_params, side=walk_side)
+            if c is not None:
+                curves.append(c if canonical else c[::-1].copy())
+
+        _add_ring_curve(shell, True)
+        for h in rings[1:]:
+            if len(h) < 4:
                 continue
-            # canonical: shell CCW, holes CW → interior on the LEFT of travel
-            shell = leaf.rings[0]
-            if not is_ccw(shell):
-                shell = shell[::-1].copy()
-            holes = []
-            for h in leaf.rings[1:]:
-                holes.append(h[::-1].copy() if is_ccw(h) else h)
-            if dist > 0.0:
-                c = ring_curve(shell, dist, params, side=+1)
-                if c is not None:
-                    curves.append(c)
-                for h in holes:
-                    if _fully_eroded(h, dist):
-                        continue  # hole disappears
-                    c = ring_curve(h, dist, params, side=+1)
-                    if c is not None:
-                        curves.append(c)
-            elif dist < 0.0:
-                if _fully_eroded(shell, dist):
-                    continue  # polygon fully eroded
-                c = ring_curve(shell, dist, params, side=-1)
-                if c is not None:
-                    curves.append(c)
-                for h in holes:
-                    c = ring_curve(h, dist, params, side=-1)
-                    if c is not None:
-                        curves.append(c)
+            if dist > 0.0 and _fully_eroded(h, dist):
+                continue  # hole disappears
+            _add_ring_curve(h, False)
     if dist > 0.0:
         for leaf in g.flatten():
             if leaf.gtype == POINT and not leaf.is_empty:
@@ -744,14 +789,71 @@ def buffer_styled(g: Geom, dist: float, params: BufferParams | None = None) -> G
     # ≤ d·1e-6 boundary perturbation — far inside the buffer matcher
     # tolerances (1e-3 relative area, d/100 Hausdorff).
     res = extract_positive_region(curves, sliver_area=sliver, check=True)
-    if res is not None:
-        return res
-    from .snapround import _snap_round_chains
+    if res is None:
+        from .snapround import _snap_round_chains
 
-    quantum = abs(dist) * 1e-6
-    scale = 2.0 ** round(math.log2(1.0 / quantum))
-    snapped = _snap_round_chains(curves, scale)
-    curves = [c for c in snapped if c is not None and len(c) >= 3]
-    if not curves:
-        return Geom(POLYGON)
-    return extract_positive_region(curves, sliver_area=sliver)
+        quantum = abs(dist) * 1e-6
+        scale = 2.0 ** round(math.log2(1.0 / quantum))
+        snapped = _snap_round_chains(curves, scale)
+        curves = [c for c in snapped if c is not None and len(c) >= 3]
+        if not curves:
+            return Geom(POLYGON)
+        res = extract_positive_region(curves, sliver_area=sliver)
+    if dist < 0.0 and not res.is_empty:
+        res = _drop_invalid_erosion_parts(res, g, -dist)
+    elif (dist > 0.0 and not res.is_empty
+          and params.join == JOIN_ROUND and params.end_cap == CAP_ROUND):
+        res = _prune_false_boundary_rings(res, g, dist)
+    return res
+
+
+def _prune_false_boundary_rings(res: Geom, src: Geom, d: float) -> Geom:
+    """Every boundary point of a round-style buffer(g, d) lies at distance
+    exactly d from g; a result ring whose FARTHEST vertex is well inside
+    that distance is an artifact of curve self-interaction (closing-segment
+    pockets — failure/TestBufferFailure.xml #1) and is dropped (holes) or
+    discarded (whole parts). Only valid for round joins/caps: mitre/bevel/
+    flat styles legitimately cut inside the distance."""
+    from .buffer import _point_to_geom_dist
+    from .overlay import build_geometry
+
+    tol = 0.99 * d
+    kept_parts = []
+    for leaf in res.flatten():
+        if leaf.gtype != POLYGON or not leaf.rings:
+            continue
+        shell = leaf.rings[0]
+        if float(_point_to_geom_dist(shell[:-1], src).max()) < tol:
+            continue  # whole part is a pocket artifact
+        rings = [shell]
+        for h in leaf.rings[1:]:
+            # a TRUE hole's entire boundary sits at distance ~d; any vertex
+            # well inside that distance marks a pocket artifact
+            if float(_point_to_geom_dist(h[:-1], src).min()) < tol:
+                continue  # hole artifact — fill it
+            rings.append(h)
+        kept_parts.append(Geom(POLYGON, rings=rings))
+    return build_geometry(kept_parts, 2)
+
+
+def _drop_invalid_erosion_parts(res: Geom, src: Geom, d: float) -> Geom:
+    """Erosion sanity: every point of buffer(g, -d) lies ≥ d inside g. A
+    fully-inverted inward curve (input thinner than 2d everywhere —
+    failure/TestBufferInsideNonEmpty.xml) can leave small positive-winding
+    pockets; drop any result part whose interior point is closer than ~d to
+    the source boundary."""
+    from .buffer import _point_to_geom_dist
+    from .overlay import build_geometry
+    from .predicates import interior_point
+
+    kept = []
+    for leaf in res.flatten():
+        if leaf.gtype != POLYGON or not leaf.rings:
+            continue
+        ip = interior_point(leaf)
+        if ip is None:
+            continue
+        dist_b = float(_point_to_geom_dist(np.array([ip]), src)[0])
+        if dist_b >= d * 0.9:
+            kept.append(leaf)
+    return build_geometry(kept, 2)
