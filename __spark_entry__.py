@@ -184,16 +184,27 @@ def _event_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("binary")
     def _rect_wkb(pid: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        # vectorized WKB assembly: every rect is a fixed-length (93-byte)
+        # little-endian single-ring polygon — one numpy buffer, no per-row
+        # encoder
         w, h = derive.event_rect_dims(pid.to_numpy(np.int64))
         xs = x.to_numpy(np.float64)
         ys = y.to_numpy(np.float64)
-        out = []
-        for i in range(len(xs)):
-            out.append(wkb_dumps(polygon([
-                (xs[i] - w[i], ys[i] - h[i]), (xs[i] + w[i], ys[i] - h[i]),
-                (xs[i] + w[i], ys[i] + h[i]), (xs[i] - w[i], ys[i] + h[i]),
-            ])))
-        return pd.Series(out)
+        n = len(xs)
+        buf = np.zeros((n, 93), dtype=np.uint8)
+        buf[:, 0] = 1  # little-endian
+        buf[:, 1] = 3  # POLYGON
+        buf[:, 5] = 1  # one ring
+        buf[:, 9] = 5  # five points (closed)
+        coords = np.empty((n, 10), dtype=np.float64)
+        coords[:, 0::2] = np.stack(
+            [xs - w, xs + w, xs + w, xs - w, xs - w], axis=1
+        )
+        coords[:, 1::2] = np.stack(
+            [ys - h, ys - h, ys + h, ys + h, ys - h], axis=1
+        )
+        buf[:, 13:] = coords.view(np.uint8).reshape(n, 80)
+        return pd.Series([r.tobytes() for r in buf])
 
     return pts.select("pid", _rect_wkb(F.col("pid"), F.col("x"), F.col("y")).alias("geom_wkb"))
 

@@ -386,19 +386,23 @@ def spatial_join_cogroup(
     left_wkb: str = "l_wkb",
     right_wkb: str = "r_wkb",
     exact_relate: bool = False,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Distributed spatial join of TWO DataFrames of WKB geometries.
 
     This is the 100-TB join shape (no driver-held broadcastable side):
 
     1. Both sides explode to covering cells (vectorized envelope cover).
-    2. ``groupBy(cell).cogroup(...).applyInPandas`` co-partitions both
-       sides on cell_id — one shuffle each, then every cell's pair-finding
-       runs executor-local.
-    3. Inside each cell an **STRtree** (``kernels/strtree.py``, STR bulk
-       pack per ``Index/Strtree/STRtree.cs:173-183``) is built over the
-       right side's envelopes and probed with each left envelope — candidate
-       generation is O((n+m) log m), never n×m.
+    2. ``groupBy(bucket).cogroup(...).applyInPandas`` co-partitions both
+       sides on hash buckets of cell_id (``n_buckets`` keys) — one shuffle
+       each, then every bucket's pair-finding runs executor-local. Bucketing
+       (rather than grouping per raw cell) bounds the number of Arrow
+       group-batches: per-group overhead is paid ``n_buckets`` times, not
+       once per distinct cell. Size ``n_buckets`` ≳ 8× cluster cores.
+    3. Inside each bucket an **STRtree** (``kernels/strtree.py``, STR bulk
+       pack per ``Index/Strtree/STRtree.cs:173-183``) is built once over the
+       right side's envelopes and probed with each left envelope (hits then
+       cell-matched) — candidate generation is O((n+m) log m), never n×m.
     4. Reference-cell dedup (pair reported only in the cell containing the
        lower-left corner of the envelope intersection) runs vectorized
        BEFORE the exact predicate, so each surviving pair is evaluated
@@ -437,36 +441,54 @@ def spatial_join_cogroup(
     lc = left.select(
         F.col(left_id), F.col(left_wkb),
         F.explode(cover_cells_udf(grid)(F.col(left_wkb))).alias("cell_id"),
-    )
+    ).withColumn("bucket", F.pmod(F.col("cell_id"), F.lit(n_buckets)))
     rc = right.select(
         F.col(right_id), F.col(right_wkb),
         F.explode(cover_cells_udf(grid)(F.col(right_wkb))).alias("cell_id"),
-    )
+    ).withColumn("bucket", F.pmod(F.col("cell_id"), F.lit(n_buckets)))
 
     def refine(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({left_id: [], right_id: [], "cell_id": []})
         if len(lpdf) == 0 or len(rpdf) == 0:
-            return pd.DataFrame({left_id: [], right_id: [], "cell_id": []})
-        cell = int(key[0])
+            return empty
         lenv = envelopes_of_wkb(lpdf[left_wkb].to_list())
         renv = envelopes_of_wkb(rpdf[right_wkb].to_list())
-        tree = STRtree(renv)
-        li_all, rj_all = [], []
-        for i in range(len(lpdf)):
-            hits = tree.query(lenv[i, 0], lenv[i, 1], lenv[i, 2], lenv[i, 3])
-            if len(hits):
-                li_all.append(np.full(len(hits), i, dtype=np.int64))
-                rj_all.append(hits)
-        if not li_all:
-            return pd.DataFrame({left_id: [], right_id: [], "cell_id": []})
-        li = np.concatenate(li_all)
-        rj = np.concatenate(rj_all)
+        lcell = lpdf["cell_id"].to_numpy(np.int64)
+        rcell = rpdf["cell_id"].to_numpy(np.int64)
+        if len(rpdf) <= 128:
+            # small build side: one vectorized envelope-overlap matrix beats
+            # per-row tree probes
+            ov = (
+                (lenv[:, 0][:, None] <= renv[:, 2][None, :])
+                & (lenv[:, 2][:, None] >= renv[:, 0][None, :])
+                & (lenv[:, 1][:, None] <= renv[:, 3][None, :])
+                & (lenv[:, 3][:, None] >= renv[:, 1][None, :])
+                & (lcell[:, None] == rcell[None, :])
+            )
+            li, rj = np.nonzero(ov)
+            if not len(li):
+                return empty
+        else:
+            tree = STRtree(renv)
+            li_all, rj_all = [], []
+            for i in range(len(lpdf)):
+                hits = tree.query(lenv[i, 0], lenv[i, 1], lenv[i, 2], lenv[i, 3])
+                if len(hits):
+                    hits = hits[rcell[hits] == lcell[i]]  # same-cell candidates
+                if len(hits):
+                    li_all.append(np.full(len(hits), i, dtype=np.int64))
+                    rj_all.append(hits)
+            if not li_all:
+                return empty
+            li = np.concatenate(li_all)
+            rj = np.concatenate(rj_all)
         # vectorized reference-cell dedup over ALL candidate pairs at once
         rx = np.maximum(lenv[li, 0], renv[rj, 0])
         ry = np.maximum(lenv[li, 1], renv[rj, 1])
-        keep = grid.cell_ids(rx, ry) == cell
+        keep = grid.cell_ids(rx, ry) == lcell[li]
         li, rj = li[keep], rj[keep]
         if not len(li):
-            return pd.DataFrame({left_id: [], right_id: [], "cell_id": []})
+            return empty
         # parse each surviving geometry exactly once
         lgeoms: dict[int, object] = {}
         rgeoms: dict[int, object] = {}
@@ -485,11 +507,11 @@ def spatial_join_cogroup(
         return pd.DataFrame({
             left_id: lpdf[left_id].to_numpy()[li],
             right_id: rpdf[right_id].to_numpy()[rj],
-            "cell_id": np.full(len(li), cell, dtype=np.int64),
+            "cell_id": lcell[li],
         })
 
     return (
-        lc.groupBy("cell_id")
-        .cogroup(rc.groupBy("cell_id"))
+        lc.groupBy("bucket")
+        .cogroup(rc.groupBy("bucket"))
         .applyInPandas(refine, out_schema)
     )

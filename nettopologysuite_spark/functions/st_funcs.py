@@ -363,6 +363,17 @@ def build_registry() -> dict:
         )
 
     @pandas_udf("binary")
+    def st_concave_hull(wkb: pd.Series, ratio: pd.Series) -> pd.Series:
+        from ..kernels.concave import concave_hull_by_length_ratio
+
+        return pd.Series(
+            [
+                None if g is None else wkb_dumps(concave_hull_by_length_ratio(g, float(r)))
+                for g, r in zip(_geoms(wkb), ratio)
+            ]
+        )
+
+    @pandas_udf("binary")
     def st_offset_curve(wkb: pd.Series, dist: pd.Series) -> pd.Series:
         from ..kernels.offset import offset_curve
 
@@ -401,6 +412,7 @@ def build_registry() -> dict:
         "ST_Overlaps": _binary_bool("overlaps"),
         "ST_Disjoint": _binary_bool("disjoint"),
         "ST_Equals": _binary_bool("equalstopo"),
+        "ST_ConcaveHull": st_concave_hull,
         "ST_DelaunayTriangles": st_delaunay,
         "ST_VoronoiPolygons": st_voronoi,
         "ST_OffsetCurve": st_offset_curve,

@@ -107,9 +107,10 @@ def delaunay_triangulation(points: np.ndarray) -> list[tuple[int, int, int]]:
             if u == i or v == i:
                 continue
             tris.add(ccw((u, v, i)))
-    # drop super-triangle incidents
-    out = [t for t in tris if all(v < n for v in t)]
-    return [tuple(int(v) for v in t) for t in out]
+    # drop super-triangle incidents; sorted for deterministic downstream
+    # tie-breaking (concave-hull erosion order)
+    out = [tuple(int(v) for v in t) for t in tris if all(v < n for v in t)]
+    return sorted(out)
 
 
 def _unique_points(g: Geom) -> np.ndarray:
