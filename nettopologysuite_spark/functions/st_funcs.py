@@ -363,6 +363,30 @@ def build_registry() -> dict:
         )
 
     @pandas_udf("binary")
+    def st_minimum_diameter(wkb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from ..kernels.caliper import minimum_diameter
+        from ..kernels.geom import LINESTRING, Geom
+
+        out = []
+        for g in _geoms(wkb):
+            if g is None:
+                out.append(None)
+                continue
+            _w, wp, bp = minimum_diameter(g)
+            out.append(wkb_dumps(Geom(LINESTRING, coords=np.array([bp, wp]))))
+        return pd.Series(out)
+
+    @pandas_udf("binary")
+    def st_minimum_rectangle(wkb: pd.Series) -> pd.Series:
+        from ..kernels.caliper import minimum_area_rectangle
+
+        return pd.Series(
+            [None if g is None else wkb_dumps(minimum_area_rectangle(g)) for g in _geoms(wkb)]
+        )
+
+    @pandas_udf("binary")
     def st_concave_hull(wkb: pd.Series, ratio: pd.Series) -> pd.Series:
         from ..kernels.concave import concave_hull_by_length_ratio
 
@@ -413,6 +437,8 @@ def build_registry() -> dict:
         "ST_Disjoint": _binary_bool("disjoint"),
         "ST_Equals": _binary_bool("equalstopo"),
         "ST_ConcaveHull": st_concave_hull,
+        "ST_MinimumDiameter": st_minimum_diameter,
+        "ST_MinimumRectangle": st_minimum_rectangle,
         "ST_DelaunayTriangles": st_delaunay,
         "ST_VoronoiPolygons": st_voronoi,
         "ST_OffsetCurve": st_offset_curve,
