@@ -46,13 +46,17 @@ def char_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def word_bigrams(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """(id, gram) distinct word bigrams — the discriminative shingle for
+                 id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """(id, gram) word bigrams — the discriminative shingle for
     document-level near-dup detection (character n-grams degenerate on
-    small-vocabulary corpora: every doc shares most of them)."""
+    small-vocabulary corpora: every doc shares most of them).
+
+    ``distinct=False`` skips the dedup shuffle — correct for consumers whose
+    aggregates are duplicate-insensitive (MinHash signatures: min over
+    repeated grams is unchanged)."""
     # project the split array ONCE, then shingle from it (the naive inline
     # form re-evaluates split(trim(text)) 4× per row)
-    return (
+    out = (
         docs.select(
             F.col(id_col).alias("_id"),
             F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"),
@@ -67,8 +71,8 @@ def word_bigrams(docs: DataFrame, text_col: str = "text",
                 )
             ).alias("gram"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def _jaccard_counts(grams: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -80,7 +84,9 @@ def _jaccard_counts(grams: DataFrame, pairs: DataFrame) -> DataFrame:
         .union(pairs.select(F.col("d2").alias("_id")))
         .distinct()
     )
-    grams = grams.join(cand_ids, "_id", "left_semi")
+    # dedup AFTER the semi-join: only candidate docs' grams pay the distinct
+    # shuffle (callers may pass non-distinct grams)
+    grams = grams.join(cand_ids, "_id", "left_semi").distinct()
     sizes = grams.groupBy("_id").agg(F.count("*").alias("sz"))
     g1 = grams.withColumnRenamed("_id", "d1")
     g2 = grams.withColumnRenamed("_id", "d2")
@@ -144,7 +150,9 @@ def minhash_lsh_pairs(
     engine reproduces the same set bit-for-bit. With b=32/r=2 the miss
     probability at j=0.8 is (1-0.64)^32 ≈ 6e-7.
     """
-    grams = word_bigrams(docs, text_col, id_col)
+    # signatures are duplicate-insensitive → skip the full-corpus distinct;
+    # the exact verify below deduplicates candidate grams only
+    grams = word_bigrams(docs, text_col, id_col, distinct=False)
     sig = grams.groupBy("_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"h{i}")

@@ -363,6 +363,17 @@ def build_registry() -> dict:
         )
 
     @pandas_udf("binary")
+    def st_variable_buffer(wkb: pd.Series, d0: pd.Series, d1: pd.Series) -> pd.Series:
+        from ..kernels.varbuffer import variable_buffer
+
+        return pd.Series(
+            [
+                None if g is None else wkb_dumps(variable_buffer(g, float(a), float(b)))
+                for g, a, b in zip(_geoms(wkb), d0, d1)
+            ]
+        )
+
+    @pandas_udf("binary")
     def st_minimum_diameter(wkb: pd.Series) -> pd.Series:
         import numpy as np
 
@@ -420,6 +431,7 @@ def build_registry() -> dict:
         "ST_IsSimple": _unary_bool(k_is_simple),
         "ST_Buffer": st_buffer,
         "ST_BufferStyle": st_buffer_style,
+        "ST_VariableBuffer": st_variable_buffer,
         "ST_Simplify": st_simplify,
         "ST_SimplifyTP": st_simplify_tp,
         "ST_SimplifyVW": st_simplify_vw,
