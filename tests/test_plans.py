@@ -46,3 +46,24 @@ def test_within_distance_refine_is_native(spark, sf_dir):
     plan = _plan(df)
     # the squared-distance refinement stays JVM-side
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_poly_poly_join_is_copartitioned(spark, sf_dir):
+    df = E.q_poly_poly_join(spark, sf_dir)
+    plan = _plan(df)
+    # the big×big path: cogrouped pandas refine over hash-bucketed exchanges
+    # of BOTH sides — never a broadcast of the big side
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:600]
+    assert plan.count("Exchange hashpartitioning(bucket") >= 2, plan[:800]
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_geo_dedup_is_pure_codegen(spark, sf_dir):
+    plan = _plan(E.q_geo_dedup(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_media_stats_is_native(spark, sf_dir):
+    plan = _plan(E.q_media_stats(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
