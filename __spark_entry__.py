@@ -130,6 +130,18 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_points(pts, queries, KNN_K)
 
 
+def q_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-local kNN with ring expansion — the scale path (work per query
+    bounded by local density); same result set and oracle as knn_join."""
+    from nettopologysuite_spark.engine.joins import knn_join_ring
+
+    pts = _event_points(spark, sf_dir)
+    keys = _nation_keys(spark, sf_dir)
+    queries = [(k, float(derive.nation_center(k)[0]), float(derive.nation_center(k)[1]))
+               for k in keys]
+    return knn_join_ring(pts, queries, KNN_K, GRID)
+
+
 def q_envelope_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _event_points(spark, sf_dir)
     df = with_cell_id(pts, COARSE)
@@ -467,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_salted": q_pip_join_salted,
         "within_dist_join": q_within_dist_join,
         "knn_join": q_knn_join,
+        "knn_join_ring": q_knn_join_ring,
         "envelope_agg": q_envelope_agg,
         "centroid_agg": q_centroid_agg,
         "docs_pip_join": q_docs_pip_join,
@@ -674,6 +687,14 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {_PTS} p CROSS JOIN nation n "
             f"WHERE (p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}) "
             f"<= {r_sql} * {r_sql}"
+        ),
+        "knn_join_ring": (
+            f"SELECT q_id, rank, pid, d2 FROM ("
+            f"  SELECT n.n_nationkey AS q_id, p.pid, "
+            f"         (p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}) AS d2, "
+            f"         ROW_NUMBER() OVER (PARTITION BY n.n_nationkey "
+            f"                            ORDER BY (p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}) ASC, p.pid ASC) AS rank "
+            f"  FROM {_PTS} p CROSS JOIN nation n) t WHERE rank <= {KNN_K}"
         ),
         "knn_join": (
             f"SELECT q_id, rank, pid, d2 FROM ("
