@@ -64,6 +64,27 @@ def coverage_union(polys: list[Geom]) -> Geom:
     return build_geometry(_rings_to_polygons(rings), 2)
 
 
+def find_gaps(polys: list[Geom], gap_width: float) -> Geom:
+    """Narrow gaps in a polygonal coverage (Coverage/CoverageGapFinder.cs):
+    holes of the coverage union whose maximum-inscribed-circle diameter is at
+    most ``gap_width``, returned as their boundary lines."""
+    from .construct import maximum_inscribed_circle
+    from .geom import LINESTRING
+    from .overlay import build_geometry
+
+    union = coverage_union(polys)
+    gaps = []
+    for leaf in union.flatten():
+        if leaf.gtype != POLYGON or len(leaf.rings) < 2:
+            continue
+        for h in leaf.rings[1:]:
+            hole_poly = Geom(POLYGON, rings=[h])
+            _x, _y, r = maximum_inscribed_circle(hole_poly, gap_width / 100.0 + 1e-9)
+            if 2 * r <= gap_width:
+                gaps.append(Geom(LINESTRING, coords=h.copy()))
+    return build_geometry(gaps, 1)
+
+
 def validate_coverage(polys: list[Geom]) -> list[int]:
     """Indices of polygons that violate the coverage condition against some
     neighbor: boundaries that intersect anywhere other than along exactly-

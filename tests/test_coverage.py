@@ -73,3 +73,17 @@ def test_new_st_functions_registered(spark):
     assert row["p"] == "POINT (2.5 0)"
     assert row["m"] == "LINESTRING (0 0, 5 0, 10 0)"
     assert row["a"] == "POINT (11 22)"
+
+
+def test_find_gaps():
+    from nettopologysuite_spark.kernels.coverage import find_gaps
+
+    cov = wkt_loads(
+        "MULTIPOLYGON (((1 5, 1 9, 5 9, 5 6, 3 5, 1 5)), "
+        "((5 9, 9 9, 9 5, 7 5, 5 6, 5 9)), "
+        "((1 1, 1 5, 3 5, 7 5, 9 5, 9 1, 1 1)))"
+    )
+    got = find_gaps(list(cov.parts), 1)
+    assert equals_normalized(got, wkt_loads("LINESTRING (3 5, 7 5, 5 6, 3 5)"))
+    # wide voids are NOT gaps
+    assert find_gaps(list(cov.parts), 0.1).is_empty
