@@ -406,6 +406,56 @@ def _node_chains(inputs: list[tuple[int, _Input]]):
             sel = (miny[cand] <= maxy[k] + pad) & (maxy[cand] >= miny[k] - pad)
             for m in cand[sel]:
                 process_pair(k, int(m))
+    # -- cluster near-coincident computed nodes -----------------------------
+    # The same geometric crossing reached via two different segment pairs can
+    # round to doubles a few ulp apart, leaving dangling edge endpoints that
+    # break ring assembly (robust/overlay geos-275 class). Snap computed
+    # split points onto original vertices / each other within a RELATIVE
+    # epsilon (~1e-13 of the coordinate magnitude — hundreds of ulp, far
+    # below any legitimate feature size in the corpus).
+    originals: set = set()
+    for _side, _kind, pts in chains:
+        for v in pts:
+            originals.add((float(v[0]), float(v[1])))
+    computed: set = set()
+    for sp in splits:
+        for cuts in sp.values():
+            for _t, pt in cuts:
+                computed.add(pt)
+    computed -= originals
+    remap: dict[tuple, tuple] = {}
+    if computed:
+        scale = 1.0
+        for _side, _kind, pts in chains:
+            scale = max(scale, float(np.abs(pts).max()))
+        eps = 1e-13 * scale
+        allpts = sorted(originals | computed)  # originals first on ties
+        by_x = allpts  # sorted by (x, y)
+        import bisect
+
+        xs = [p[0] for p in by_x]
+        for p in computed:
+            lo = bisect.bisect_left(xs, p[0] - eps)
+            hi = bisect.bisect_right(xs, p[0] + eps)
+            best = None
+            for q in by_x[lo:hi]:
+                if q == p or abs(q[1] - p[1]) > eps:
+                    continue
+                # prefer original vertices as canonical representatives
+                if q in originals:
+                    best = q
+                    break
+                if best is None and q < p:
+                    best = q
+            if best is not None:
+                remap[p] = best
+
+    def canon(p: tuple) -> tuple:
+        return remap.get(p, p)
+
+    if remap:
+        node_points = {canon(p) for p in node_points}
+
     edges = []  # (u, v, side, kind, chain_id)
     for ci, (side, kind, pts) in enumerate(chains):
         p_first = (float(pts[0, 0]), float(pts[0, 1]))
@@ -416,7 +466,7 @@ def _node_chains(inputs: list[tuple[int, _Input]]):
             p1 = (float(pts[i, 0]), float(pts[i, 1]))
             p2 = (float(pts[i + 1, 0]), float(pts[i + 1, 1]))
             cuts = sorted(splits[ci].get(i, ()))
-            verts = [p1] + [pt for _, pt in cuts] + [p2]
+            verts = [p1] + [canon(pt) for _, pt in cuts] + [p2]
             for k in range(len(verts) - 1):
                 if verts[k] != verts[k + 1]:
                     edges.append((verts[k], verts[k + 1], side, kind, ci))
