@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..kernels.cells import Grid, hilbert_encode, morton_encode
+from ..kernels.cells import Grid, hilbert_encode
 from ..kernels.envelope import envelopes_of_wkb
 from ..kernels.geom import wkb_to_points
 from .derive import morton_sql_expr

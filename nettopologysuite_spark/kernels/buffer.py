@@ -18,18 +18,9 @@ import math
 
 import numpy as np
 
-from .geom import (
-    GEOMETRYCOLLECTION,
-    LINESTRING,
-    MULTIPOLYGON,
-    POINT,
-    POLYGON,
-    Geom,
-    polygon as mk_polygon,
-)
+from .geom import LINESTRING, POLYGON, Geom
 from .measures import point_segment_dist2
-from .overlay import _assemble_rings, _edge_key, _seg_intersection, build_geometry, overlay
-from .pip import EXTERIOR, INTERIOR, PreparedPolygon
+from .overlay import _assemble_rings, overlay
 from .union_op import cascaded_union
 
 

@@ -14,7 +14,7 @@ import math
 
 import numpy as np
 
-from .geom import LINESTRING, POINT, POLYGON, Geom
+from .geom import LINESTRING, POLYGON, Geom
 
 
 def _hull_ring(g: Geom) -> np.ndarray | None:

@@ -16,7 +16,7 @@ import numpy as np
 
 from .geom import LINESTRING, POLYGON, Geom
 from .measures import point_segment_dist2
-from .pip import EXTERIOR, INTERIOR, PreparedPolygon
+from .pip import EXTERIOR, PreparedPolygon
 
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,7 @@ import math
 
 import numpy as np
 
-from .geom import LINESTRING, MULTILINESTRING, Geom
+from .geom import LINESTRING, Geom
 
 
 def _lines_of(g: Geom) -> list[np.ndarray]:

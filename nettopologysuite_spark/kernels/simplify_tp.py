@@ -18,7 +18,7 @@ import math
 
 import numpy as np
 
-from .geom import GEOMETRYCOLLECTION, LINESTRING, POINT, POLYGON, Geom
+from .geom import LINESTRING, POINT, POLYGON, Geom
 
 
 # ---------------------------------------------------------------------------

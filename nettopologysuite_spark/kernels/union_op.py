@@ -10,7 +10,6 @@ partial-aggregate template the Spark layer uses for distributed union
 
 from __future__ import annotations
 
-import numpy as np
 
 from .geom import GEOMETRYCOLLECTION, LINESTRING, Geom
 from .overlay import _Input, _assemble_lines, _node_chains, build_geometry, overlay

@@ -21,7 +21,6 @@ Lineal/puntal rules per :223-282: points always valid, linestrings need
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 
