@@ -223,9 +223,10 @@ def _event_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_poly_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big×big spatial join: event rectangles (DataFrame) × nation octagons
-    (DataFrame) — co-partitioned by cell, per-cell STRtree build+probe,
-    reference-cell dedup, exact intersects refine. No broadcast pack."""
-    from nettopologysuite_spark.engine.joins import spatial_join_cogroup
+    (DataFrame) — native cell equi-join with codegen envelope-overlap and
+    reference-cell dedup filters; only true candidates cross into the
+    vectorized exact-intersects refine. No broadcast pack."""
+    from nettopologysuite_spark.engine.joins import spatial_join_bigbig
     from nettopologysuite_spark.kernels.geom import wkb_dumps
 
     rects = _event_rects(spark, sf_dir)
@@ -234,7 +235,7 @@ def q_poly_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f"oct-{k}", wkb_dumps(nation_octagon_geom(k))) for k in keys],
         "poly_id string, oct_wkb binary",
     )
-    out = spatial_join_cogroup(
+    out = spatial_join_bigbig(
         rects, octs, GRID, "intersects",
         left_id="pid", right_id="poly_id", left_wkb="geom_wkb", right_wkb="oct_wkb",
     )

@@ -368,8 +368,11 @@ def _ref_cell_col(grid: Grid, rx, ry):
 def _batched_pair_eval(pack: PolygonPack, predicate: str):
     """Boolean pandas UDF (wkb, poly_id) → predicate(geom, poly), batched:
     WKB parsed once per row, point-typed rows evaluated via the vectorized
-    prepared-PIP kernel per poly group, extended rows via the relate kernel.
+    prepared-PIP kernel per poly group, extended rows via the vectorized
+    batch-intersects kernel (whole-array PIP/parity/segment passes); only
+    non-intersects extended pairs fall back to the per-pair relate kernel.
     """
+    from ..kernels.batchgeom import GeomBatch, PreparedRight, batch_intersects
     from ..kernels.geom import POINT, wkb_loads
     from ..kernels.predicates import evaluate_predicate
 
@@ -383,6 +386,7 @@ def _batched_pair_eval(pack: PolygonPack, predicate: str):
         is_pt = np.array(
             [g is not None and g.gtype == POINT for g in geoms_list], dtype=bool
         )
+        ext_gb = None  # lazily-built columnar batch over ALL rows
         codes, uniques = pd.factorize(poly_id.to_numpy(object))
         for j, pid in enumerate(uniques):
             sel = codes == j
@@ -398,15 +402,23 @@ def _batched_pair_eval(pack: PolygonPack, predicate: str):
                     out[idx] = prep.contains_points(xs, ys)
                 else:
                     out[idx] = prep.covers_points(xs, ys)
-            # general path: full relate kernel per surviving pair
             ext_sel = sel & ~is_pt
             if ext_sel.any():
                 if pgeoms is None:
                     pgeoms = pack.geoms()
                 pg = pgeoms[pid]
-                for i in np.flatnonzero(ext_sel):
-                    if geoms_list[i] is not None:
-                        out[i] = evaluate_predicate(predicate, geoms_list[i], pg)
+                idx = np.flatnonzero(ext_sel)
+                if predicate == "intersects":
+                    # vectorized extended path (already-parsed geoms, no
+                    # second WKB decode)
+                    if ext_gb is None:
+                        ext_gb = GeomBatch(geoms_list)
+                    out[idx] = batch_intersects(ext_gb, idx, PreparedRight(pg))
+                else:
+                    # general path: full relate kernel per surviving pair
+                    for i in idx:
+                        if geoms_list[i] is not None:
+                            out[i] = evaluate_predicate(predicate, geoms_list[i], pg)
         return pd.Series(out)
 
     return _eval
@@ -425,14 +437,14 @@ def spatial_join_wkb(
     The reference-cell test (pair belongs only to the cell containing the
     lower-left corner of the envelope intersection) runs as a NATIVE column
     predicate before any Python refine: the geometry envelope is computed
-    once (vectorized) alongside the cover cells, the polygon envelope rides
-    on the broadcast cover relation, and the corner/cell arithmetic is pure
+    once (vectorized pandas UDF), the cover explode is native ``sequence()``
+    arithmetic (no per-row Python list), the polygon envelope rides on the
+    broadcast cover relation, and the corner/cell arithmetic is pure
     Catalyst. A geometry replicated to k cells therefore reaches the Python
     refine exactly once, already matched to its reference cell.
     """
-    from ..kernels.envelope import envelopes_of_wkb
     from ..kernels.geom import wkb_loads
-    from .tiling import cover_cells_udf
+    from .tiling import envelope_struct_udf, explode_cover_native
 
     spark = geoms.sparkSession
 
@@ -448,22 +460,12 @@ def spatial_join_wkb(
         rows, "cell_id long, poly_id string, p_minx double, p_miny double"
     )
 
-    @pandas_udf("struct<cells:array<long>,minx:double,miny:double>")
-    def _cover_env(wkb: pd.Series) -> pd.DataFrame:
-        envs = envelopes_of_wkb(wkb.to_list())
-        cells = []
-        for minx, miny, maxx, maxy in envs:
-            if minx != minx:  # NaN → empty geometry
-                cells.append([])
-            else:
-                cells.append([int(c) for c in grid.cover_envelope(minx, miny, maxx, maxy)])
-        return pd.DataFrame({"cells": cells, "minx": envs[:, 0], "miny": envs[:, 1]})
-
-    tagged = geoms.withColumn("_ce", _cover_env(F.col(wkb_col)))
+    tagged = geoms.withColumn("_env", envelope_struct_udf()(F.col(wkb_col)))
     cand = (
-        tagged.select("*", F.explode(F.col("_ce.cells")).alias("cell_id"),
-                      F.col("_ce.minx").alias("g_minx"), F.col("_ce.miny").alias("g_miny"))
-        .drop("_ce")
+        explode_cover_native(tagged, grid)
+        .withColumn("g_minx", F.col("_env.minx"))
+        .withColumn("g_miny", F.col("_env.miny"))
+        .drop("_env")
         .join(F.broadcast(cover), "cell_id")
     )
     # native reference-cell pre-filter (JVM, whole-stage codegen)
@@ -477,11 +479,61 @@ def spatial_join_wkb(
 
 
 # ---------------------------------------------------------------------------
-# big × big spatial join: both sides DataFrames, co-partitioned by cell,
-# executor-local STRtree over the build side (no driver-held pack)
+# big × big spatial join: both sides DataFrames (no driver-held pack)
 # ---------------------------------------------------------------------------
 
-def spatial_join_cogroup(
+def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
+    """Boolean pandas UDF (left_wkb, right_wkb) → predicate(left, right).
+
+    Per Arrow batch: rights factorize to uniques (each parsed + prepared
+    ONCE), lefts decode to one columnar ``GeomBatch`` (uniform WKBs via a
+    single buffer reinterpretation), and every right group evaluates through
+    the whole-array passes of ``kernels/batchgeom.batch_intersects`` — the
+    batched analog of ``Geometries/Prepared/PreparedPolygonIntersects.cs:
+    38-60``. Non-intersects predicates / ``exact_relate`` fall back to the
+    per-pair DE-9IM relate kernel on the (already envelope- and cell-
+    filtered) survivors.
+    """
+    from ..kernels.batchgeom import GeomBatch, PreparedRight, batch_intersects
+    from ..kernels.geom import wkb_loads
+    from ..kernels.predicates import contains as p_contains
+    from ..kernels.predicates import covers as p_covers
+    from ..kernels.predicates import evaluate_predicate
+
+    vector_fast = (not exact_relate) and predicate == "intersects"
+    if exact_relate:
+        pair_eval = lambda a, b: evaluate_predicate(predicate, a, b)  # noqa: E731
+    else:
+        fast = {"covers": p_covers, "contains": p_contains}
+        pair_eval = fast.get(predicate)
+        if pair_eval is None:
+            pair_eval = lambda a, b: evaluate_predicate(predicate, a, b)  # noqa: E731
+
+    @pandas_udf("boolean")
+    def _refine(lwkb: pd.Series, rwkb: pd.Series) -> pd.Series:
+        n = len(lwkb)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return pd.Series(out)
+        rcodes, runiq = pd.factorize(rwkb.to_numpy(object))
+        if vector_fast:
+            gb_left = GeomBatch.from_wkb(lwkb.to_list())
+            idx_all = np.arange(n, dtype=np.int64)
+            for j, blob in enumerate(runiq):
+                sel = rcodes == j
+                pr = PreparedRight(wkb_loads(bytes(blob)))
+                out[sel] = batch_intersects(gb_left, idx_all[sel], pr)
+        else:
+            rgeoms = [wkb_loads(bytes(b)) for b in runiq]
+            lblobs = lwkb.to_list()
+            for i in range(n):
+                out[i] = pair_eval(wkb_loads(bytes(lblobs[i])), rgeoms[rcodes[i]])
+        return pd.Series(out)
+
+    return _refine
+
+
+def spatial_join_bigbig(
     left: DataFrame,
     right: DataFrame,
     grid: Grid,
@@ -491,132 +543,75 @@ def spatial_join_cogroup(
     left_wkb: str = "l_wkb",
     right_wkb: str = "r_wkb",
     exact_relate: bool = False,
-    n_buckets: int = 256,
 ) -> DataFrame:
     """Distributed spatial join of TWO DataFrames of WKB geometries.
 
-    This is the 100-TB join shape (no driver-held broadcastable side):
+    This is the 100-TB join shape (no driver-held broadcastable side), and
+    everything between the two scans and the final refine is native JVM:
 
-    1. Both sides explode to covering cells (vectorized envelope cover).
-    2. ``groupBy(bucket).cogroup(...).applyInPandas`` co-partitions both
-       sides on hash buckets of cell_id (``n_buckets`` keys) — one shuffle
-       each, then every bucket's pair-finding runs executor-local. Bucketing
-       (rather than grouping per raw cell) bounds the number of Arrow
-       group-batches: per-group overhead is paid ``n_buckets`` times, not
-       once per distinct cell. Size ``n_buckets`` ≳ 8× cluster cores.
-    3. Inside each bucket an **STRtree** (``kernels/strtree.py``, STR bulk
-       pack per ``Index/Strtree/STRtree.cs:173-183``) is built once over the
-       right side's envelopes and probed with each left envelope (hits then
-       cell-matched) — candidate generation is O((n+m) log m), never n×m.
-    4. Reference-cell dedup (pair reported only in the cell containing the
-       lower-left corner of the envelope intersection) runs vectorized
-       BEFORE the exact predicate, so each surviving pair is evaluated
-       exactly once across all cells.
-    5. Exact refinement: vectorized fast predicates (``predicates.
-       intersects/covers/contains`` — envelope short-circuit + batched
-       segment/PIP tests) or the full DE-9IM relate kernel
-       (``exact_relate=True``).
+    1. Each side computes its envelope with ONE vectorized pandas UDF
+       (uniform WKB batches decode via a single buffer reinterpretation),
+       then explodes to covering cells in pure Catalyst — two ``sequence()``
+       ranges per row (a grid cover is a rectangle of cell indices). No
+       Python list per row; the envelope rides along as four double columns.
+    2. Candidates come from a NATIVE equi-join on ``cell_id`` — Catalyst
+       picks broadcast vs shuffled hash vs sort-merge, and AQE handles
+       skewed cells (hot-cell splitting) and coalesces post-shuffle
+       partitions. The grid is the index; no executor-local tree build.
+    3. Envelope overlap AND reference-cell dedup (pair reported only in the
+       cell containing the lower-left corner of the envelope intersection —
+       each pair surfaces exactly once across all cells) are whole-stage-
+       codegen'd column predicates applied INSIDE the join stage, so the
+       exploded rows never reach Python.
+    4. Only surviving candidate pairs (true envelope hits) cross the Arrow
+       boundary once, through the boolean ``pair_refine_udf`` — vectorized
+       exact ``intersects`` (grouped by right geometry, whole-array
+       PIP/parity/segment passes) or the per-pair DE-9IM relate fallback.
 
-    Skew note: a hot cell lands on one task; AQE skew-join splitting applies
-    to the shuffle, and the grid level is the coarse knob (finer level →
-    smaller cells → bounded per-cell work). Output is property-tested equal
-    to the broadcast-pack path.
+    Scale notes: shuffle volume is cover-explode amplified (rows × cells
+    covered), proportional to geometry extent over cell size — the grid
+    level is the knob. Output is property-tested equal to the broadcast-
+    pack path.
     """
-    from ..kernels.envelope import envelopes_of_wkb
-    from ..kernels.geom import wkb_loads
-    from ..kernels.predicates import contains as p_contains
-    from ..kernels.predicates import covers as p_covers
-    from ..kernels.predicates import evaluate_predicate
-    from ..kernels.predicates import intersects as p_intersects
-    from ..kernels.strtree import STRtree
-    from .tiling import cover_cells_udf
+    from .tiling import envelope_struct_udf, explode_cover_native
 
-    if exact_relate:
-        pair_eval = lambda a, b: evaluate_predicate(predicate, a, b)  # noqa: E731
-    else:
-        fast = {"intersects": p_intersects, "covers": p_covers, "contains": p_contains}
-        pair_eval = fast.get(predicate)
-        if pair_eval is None:
-            pair_eval = lambda a, b: evaluate_predicate(predicate, a, b)  # noqa: E731
+    env_udf = envelope_struct_udf()
 
-    ltype = dict(left.dtypes)[left_id]
-    rtype = dict(right.dtypes)[right_id]
-    out_schema = f"{left_id} {ltype}, {right_id} {rtype}, cell_id long"
+    def _side(df: DataFrame, id_col: str, wkb_col: str, tag: str) -> DataFrame:
+        return explode_cover_native(
+            df.select(F.col(id_col), F.col(wkb_col),
+                      env_udf(F.col(wkb_col)).alias("_env")),
+            grid,
+        ).select(
+            id_col, wkb_col,
+            F.col("_env.minx").alias(f"{tag}minx"), F.col("_env.miny").alias(f"{tag}miny"),
+            F.col("_env.maxx").alias(f"{tag}maxx"), F.col("_env.maxy").alias(f"{tag}maxy"),
+            "cell_id",
+        )
 
-    lc = left.select(
-        F.col(left_id), F.col(left_wkb),
-        F.explode(cover_cells_udf(grid)(F.col(left_wkb))).alias("cell_id"),
-    ).withColumn("bucket", F.pmod(F.col("cell_id"), F.lit(n_buckets)))
-    rc = right.select(
-        F.col(right_id), F.col(right_wkb),
-        F.explode(cover_cells_udf(grid)(F.col(right_wkb))).alias("cell_id"),
-    ).withColumn("bucket", F.pmod(F.col("cell_id"), F.lit(n_buckets)))
-
-    def refine(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({left_id: [], right_id: [], "cell_id": []})
-        if len(lpdf) == 0 or len(rpdf) == 0:
-            return empty
-        lenv = envelopes_of_wkb(lpdf[left_wkb].to_list())
-        renv = envelopes_of_wkb(rpdf[right_wkb].to_list())
-        lcell = lpdf["cell_id"].to_numpy(np.int64)
-        rcell = rpdf["cell_id"].to_numpy(np.int64)
-        if len(rpdf) <= 128:
-            # small build side: one vectorized envelope-overlap matrix beats
-            # per-row tree probes
-            ov = (
-                (lenv[:, 0][:, None] <= renv[:, 2][None, :])
-                & (lenv[:, 2][:, None] >= renv[:, 0][None, :])
-                & (lenv[:, 1][:, None] <= renv[:, 3][None, :])
-                & (lenv[:, 3][:, None] >= renv[:, 1][None, :])
-                & (lcell[:, None] == rcell[None, :])
-            )
-            li, rj = np.nonzero(ov)
-            if not len(li):
-                return empty
-        else:
-            tree = STRtree(renv)
-            li_all, rj_all = [], []
-            for i in range(len(lpdf)):
-                hits = tree.query(lenv[i, 0], lenv[i, 1], lenv[i, 2], lenv[i, 3])
-                if len(hits):
-                    hits = hits[rcell[hits] == lcell[i]]  # same-cell candidates
-                if len(hits):
-                    li_all.append(np.full(len(hits), i, dtype=np.int64))
-                    rj_all.append(hits)
-            if not li_all:
-                return empty
-            li = np.concatenate(li_all)
-            rj = np.concatenate(rj_all)
-        # vectorized reference-cell dedup over ALL candidate pairs at once
-        rx = np.maximum(lenv[li, 0], renv[rj, 0])
-        ry = np.maximum(lenv[li, 1], renv[rj, 1])
-        keep = grid.cell_ids(rx, ry) == lcell[li]
-        li, rj = li[keep], rj[keep]
-        if not len(li):
-            return empty
-        # parse each surviving geometry exactly once
-        lgeoms: dict[int, object] = {}
-        rgeoms: dict[int, object] = {}
-        lblob = lpdf[left_wkb].to_list()
-        rblob = rpdf[right_wkb].to_list()
-        ok = np.zeros(len(li), dtype=bool)
-        for t, (i, j) in enumerate(zip(li, rj)):
-            ga = lgeoms.get(i)
-            if ga is None:
-                ga = lgeoms[i] = wkb_loads(bytes(lblob[i]))
-            gb = rgeoms.get(j)
-            if gb is None:
-                gb = rgeoms[j] = wkb_loads(bytes(rblob[j]))
-            ok[t] = pair_eval(ga, gb)
-        li, rj = li[ok], rj[ok]
-        return pd.DataFrame({
-            left_id: lpdf[left_id].to_numpy()[li],
-            right_id: rpdf[right_id].to_numpy()[rj],
-            "cell_id": lcell[li],
-        })
-
-    return (
-        lc.groupBy("bucket")
-        .cogroup(rc.groupBy("bucket"))
-        .applyInPandas(refine, out_schema)
+    lc = _side(left, left_id, left_wkb, "_l")
+    rc = _side(right, right_id, right_wkb, "_r")
+    # shuffle-hash hint: compile-time size stats are meaningless below a
+    # Python UDF + explode (Catalyst was observed broadcasting the BIG
+    # exploded side); AQE still converts to broadcast at runtime when one
+    # side's true size is small, and splits skewed cells
+    cand = (
+        lc.join(rc.hint("shuffle_hash"), "cell_id")
+        # envelope overlap (closed intervals, Envelope.cs Intersects)
+        .filter(
+            (F.col("_lminx") <= F.col("_rmaxx")) & (F.col("_lmaxx") >= F.col("_rminx"))
+            & (F.col("_lminy") <= F.col("_rmaxy")) & (F.col("_lmaxy") >= F.col("_rminy"))
+        )
+        # reference-cell dedup — native corner/cell arithmetic
+        .filter(
+            _ref_cell_col(
+                grid,
+                F.greatest(F.col("_lminx"), F.col("_rminx")),
+                F.greatest(F.col("_lminy"), F.col("_rminy")),
+            ) == F.col("cell_id")
+        )
     )
+    refined = cand.filter(
+        pair_refine_udf(predicate, exact_relate)(F.col(left_wkb), F.col(right_wkb))
+    )
+    return refined.select(left_id, right_id, "cell_id")

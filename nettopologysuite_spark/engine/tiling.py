@@ -70,6 +70,69 @@ def cell_of_wkb_udf(grid: Grid):
     return _cell
 
 
+def envelope_struct_udf():
+    """Vectorized WKB → envelope struct (minx, miny, maxx, maxy).
+
+    Uniform simple batches (points / equal-shape rects) decode through the
+    single-buffer fast path of ``envelopes_of_wkb`` — no per-row Python.
+    Empty geometries yield NaN (callers filter with ``isnan``).
+
+    Marked non-deterministic ON PURPOSE (it is in fact deterministic): the
+    optimizer otherwise collapses projections and infers isnotnull
+    constraints from downstream join conditions, duplicating this UDF —
+    the physical plan showed every side's envelope (and any upstream
+    geometry-producing UDF) evaluated twice. Non-determinism pins ONE
+    evaluation whose output is then referenced as a plain attribute."""
+
+    @pandas_udf("struct<minx:double,miny:double,maxx:double,maxy:double>")
+    def _env(wkb: pd.Series) -> pd.DataFrame:
+        envs = envelopes_of_wkb(wkb.to_list())
+        return pd.DataFrame(
+            {"minx": envs[:, 0], "miny": envs[:, 1],
+             "maxx": envs[:, 2], "maxy": envs[:, 3]}
+        )
+
+    return _env.asNondeterministic()
+
+
+def explode_cover_native(df: DataFrame, grid: Grid, env: str = "_env",
+                         out: str = "cell_id") -> DataFrame:
+    """Explode each row to its envelope-covering cell ids — pure Catalyst.
+
+    The cover of an envelope on a regular grid is a RECTANGLE of cell
+    indices, so the explode is two native ``sequence()`` ranges (column
+    span × row span) — whole-stage-codegen'd, no Python, no array
+    materialization per row. Rows with NaN envelopes (empty geoms) explode
+    to an EMPTY array (dropped) — a ``when`` branch, deliberately not a
+    separate ``filter``: a filter referencing the envelope column would be
+    pushed below the Generate and force a second evaluation of the
+    envelope UDF (observed in the physical plan).
+    """
+    n = grid.n
+
+    def _clamp(c):
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), c))
+
+    ix_lo = _clamp(F.floor((F.col(f"{env}.minx") - F.lit(grid.minx)) / F.lit(grid.cell_w)).cast("long"))
+    ix_hi = _clamp(F.floor((F.col(f"{env}.maxx") - F.lit(grid.minx)) / F.lit(grid.cell_w)).cast("long"))
+    iy_lo = _clamp(F.floor((F.col(f"{env}.miny") - F.lit(grid.miny)) / F.lit(grid.cell_h)).cast("long"))
+    iy_hi = _clamp(F.floor((F.col(f"{env}.maxy") - F.lit(grid.miny)) / F.lit(grid.cell_h)).cast("long"))
+    is_nan = F.isnan(F.col(f"{env}.minx"))
+    empty = F.array().cast("array<bigint>")
+    return (
+        df.withColumn(
+            "_iyc",
+            F.explode(F.when(is_nan, empty).otherwise(F.sequence(iy_lo, iy_hi))),
+        )
+        .withColumn(
+            "_ixc",
+            F.explode(F.when(is_nan, empty).otherwise(F.sequence(ix_lo, ix_hi))),
+        )
+        .withColumn(out, (F.col("_iyc") * n + F.col("_ixc")).cast("long"))
+        .drop("_iyc", "_ixc")
+    )
+
+
 def cover_cells_udf(grid: Grid, expand: float = 0.0):
     """Covering cell ids (array<long>) of arbitrary WKB geometries, via
     envelope cover — the multi-cell replication step for non-point inputs."""

@@ -97,6 +97,53 @@ class STRtree:
         hit = ~((e[:, 0] > maxx) | (e[:, 2] < minx) | (e[:, 1] > maxy) | (e[:, 3] < miny))
         return idx[hit]
 
+    def query_batch(self, boxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Bulk envelope query: all query boxes descend the tree together.
+
+        boxes: (m, 4) [minx, miny, maxx, maxy]. Returns (query_idx, item_idx)
+        pairs for every item envelope intersecting its query box — the
+        vectorized form of ``query`` (one numpy pass per tree level instead
+        of a Python loop per query; ``Index/Strtree/STRtree.cs:238`` Query
+        semantics, batched)."""
+        boxes = np.asarray(boxes, dtype=np.float64)
+        m = len(boxes)
+        if not self.levels or m == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        # frontier: (query, node) pairs at the current level
+        q = np.arange(m, dtype=np.int64)
+        node = np.zeros(m, dtype=np.int64)
+        level = len(self.levels) - 1
+        while level >= 0:
+            env = self.levels[level]
+            e = env[node]
+            b = boxes[q]
+            hit = ~(
+                (e[:, 0] > b[:, 2]) | (e[:, 2] < b[:, 0])
+                | (e[:, 1] > b[:, 3]) | (e[:, 3] < b[:, 1])
+            )
+            q = q[hit]
+            node = node[hit]
+            if len(q) == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            ch = self.children[level]
+            starts = ch[node, 0]
+            counts = ch[node, 1] - starts
+            # vectorized concat-of-ranges: child j of frontier i is
+            # starts[i] + (j - offset[i])
+            total = int(counts.sum())
+            q = np.repeat(q, counts)
+            base = np.repeat(starts - np.concatenate(([0], counts[:-1])).cumsum(), counts)
+            node = base + np.arange(total, dtype=np.int64)
+            level -= 1
+        idx = self.item_order[node]
+        e = self.envs[idx]
+        b = boxes[q]
+        hit = ~(
+            (e[:, 0] > b[:, 2]) | (e[:, 2] < b[:, 0])
+            | (e[:, 1] > b[:, 3]) | (e[:, 3] < b[:, 1])
+        )
+        return q[hit], idx[hit]
+
     @staticmethod
     def _env_dist2(e: np.ndarray, x: float, y: float) -> float:
         dx = max(e[0] - x, 0.0, x - e[2])

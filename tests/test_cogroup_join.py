@@ -1,4 +1,4 @@
-"""Big×big co-partitioned STRtree join: property-equal to the broadcast-pack
+"""Big×big native cell-join: property-equal to the broadcast-pack
 path and to a driver-side brute force; reference-cell dedup emits each pair
 exactly once."""
 
@@ -46,7 +46,7 @@ def test_cogroup_join_matches_bruteforce_and_broadcast(spark, sf_dir):
 def test_cogroup_join_mixed_types_exact_relate(spark):
     """Points/lines/polygons on the left, polygons on the right, full relate
     kernel — touch and containment cases covered."""
-    from nettopologysuite_spark.engine.joins import spatial_join_cogroup
+    from nettopologysuite_spark.engine.joins import spatial_join_bigbig
     from nettopologysuite_spark.kernels.geom import (
         linestring,
         point,
@@ -78,7 +78,7 @@ def test_cogroup_join_mixed_types_exact_relate(spark):
     rdf = spark.createDataFrame(
         [(i, wkb_dumps(g)) for i, g in rights], "r_id string, r_wkb binary"
     )
-    out = spatial_join_cogroup(ldf, rdf, grid, "intersects", exact_relate=True)
+    out = spatial_join_bigbig(ldf, rdf, grid, "intersects", exact_relate=True)
     got = {(r["l_id"], r["r_id"]) for r in out.collect()}
     expect = {
         (li, ri)

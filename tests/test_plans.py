@@ -48,14 +48,20 @@ def test_within_distance_refine_is_native(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_poly_poly_join_is_copartitioned(spark, sf_dir):
+def test_poly_poly_join_shape(spark, sf_dir):
     df = E.q_poly_poly_join(spark, sf_dir)
     plan = _plan(df)
-    # the big×big path: cogrouped pandas refine over hash-bucketed exchanges
-    # of BOTH sides — never a broadcast of the big side
-    assert "FlatMapCoGroupsInPandas" in plan, plan[:600]
-    assert plan.count("Exchange hashpartitioning(bucket") >= 2, plan[:800]
-    assert "BroadcastHashJoin" not in plan
+    # the big×big path: NATIVE equi-join on cell_id (shuffled-hash; AQE may
+    # convert to broadcast at runtime from true sizes — never from the
+    # meaningless compile-time stats below a Python UDF), envelope-overlap +
+    # reference-cell dedup inside the join condition (JVM), and exactly TWO
+    # Python crossings: the vectorized envelope UDF per side feeding the
+    # native sequence()-explode, and the refine above the join
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan[:800]
+    assert "FLOOR" in plan  # native ref-cell arithmetic in the join condition
+    assert plan.count("ArrowEvalPython") == 3  # env × 2 sides + refine
+    # the cover explode is native sequence(), not a Python array UDF
+    assert "sequence(greatest(" in plan, plan[:800]
 
 
 def test_geo_dedup_is_pure_codegen(spark, sf_dir):
