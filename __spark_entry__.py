@@ -142,6 +142,44 @@ def q_knn_join_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_ring(pts, queries, KNN_K, GRID)
 
 
+def _nation_queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query table derived NATIVELY from the nation parquet (no collect):
+    center + radius as codegen expressions of n_nationkey."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    key = F.col("n_nationkey")
+    return nat.select(
+        key.alias("q_id"),
+        (F.lit(10) + (key % 5) * 20).cast("double").alias("qx"),
+        (F.lit(10) + F.floor(key / 5) * 20).cast("double").alias("qy"),
+        (F.lit(5) + (key % 3) * 2).cast("double").alias("r"),
+    )
+
+
+def q_knn_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join with the QUERY SIDE A DATAFRAME (distributed ring expansion,
+    no collect of query rows) — same result set and oracle as knn_join."""
+    from nettopologysuite_spark.engine.joins import knn_join_table
+
+    pts = _event_points(spark, sf_dir)
+    q = _nation_queries_df(spark, sf_dir).select("q_id", "qx", "qy")
+    return knn_join_table(pts, q, KNN_K, GRID)
+
+
+def q_within_dist_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance join with the QUERY SIDE A DATAFRAME — native cover
+    explode + equi-join + codegen distance refine, zero Python and zero
+    driver-side query state; same oracle as within_dist_join."""
+    from nettopologysuite_spark.engine.joins import within_distance_join_table
+
+    pts = _event_points(spark, sf_dir)
+    q = _nation_queries_df(spark, sf_dir).select(
+        F.concat(F.lit("n-"), F.col("q_id").cast("string")).alias("q_id"),
+        F.col("qx").alias("cx"), F.col("qy").alias("cy"), "r",
+    )
+    out = within_distance_join_table(pts, q, GRID)
+    return out.select("pid", "q_id")
+
+
 def q_envelope_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _event_points(spark, sf_dir)
     df = with_cell_id(pts, COARSE)
@@ -481,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_dist_join": q_within_dist_join,
         "knn_join": q_knn_join,
         "knn_join_ring": q_knn_join_ring,
+        "knn_join_df": q_knn_join_df,
+        "within_dist_join_df": q_within_dist_join_df,
         "envelope_agg": q_envelope_agg,
         "centroid_agg": q_centroid_agg,
         "docs_pip_join": q_docs_pip_join,
@@ -668,6 +708,20 @@ def oracle_sql() -> dict[str, str]:
     cy = "(10 + (CAST(FLOOR(n.n_nationkey / 5) AS BIGINT)) * 20)"
     ix6 = f"CAST(FLOOR(x / {derive.sql_double(GRID.cell_w)}) AS BIGINT)"
     iy6 = f"CAST(FLOOR(y / {derive.sql_double(GRID.cell_h)}) AS BIGINT)"
+    knn_sql = (
+        f"SELECT q_id, rank, pid, d2 FROM ("
+        f"  SELECT n.n_nationkey AS q_id, p.pid, "
+        f"         (p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}) AS d2, "
+        f"         ROW_NUMBER() OVER (PARTITION BY n.n_nationkey "
+        f"                            ORDER BY (p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}) ASC, p.pid ASC) AS rank "
+        f"  FROM {_PTS} p CROSS JOIN nation n) t WHERE rank <= {KNN_K}"
+    )
+    wdist_sql = (
+        f"SELECT p.pid, 'n-' || CAST(n.n_nationkey AS VARCHAR) AS q_id "
+        f"FROM {_PTS} p CROSS JOIN nation n "
+        f"WHERE (p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}) "
+        f"<= {r_sql} * {r_sql}"
+    )
     return {
         "tile_assign": f"SELECT pid, {_cell_sql('x', 'y', GRID)} AS cell_id FROM {_PTS} p",
         "tile_morton": f"SELECT pid, {morton_sql_expr(ix6, iy6, GRID.level)} AS z_order FROM {_PTS} p",
@@ -683,28 +737,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT p.pid, 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
             f"FROM {_PTS} p CROSS JOIN nation n WHERE {oct_pred}"
         ),
-        "within_dist_join": (
-            f"SELECT p.pid, 'n-' || CAST(n.n_nationkey AS VARCHAR) AS q_id "
-            f"FROM {_PTS} p CROSS JOIN nation n "
-            f"WHERE (p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}) "
-            f"<= {r_sql} * {r_sql}"
-        ),
-        "knn_join_ring": (
-            f"SELECT q_id, rank, pid, d2 FROM ("
-            f"  SELECT n.n_nationkey AS q_id, p.pid, "
-            f"         (p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}) AS d2, "
-            f"         ROW_NUMBER() OVER (PARTITION BY n.n_nationkey "
-            f"                            ORDER BY (p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}) ASC, p.pid ASC) AS rank "
-            f"  FROM {_PTS} p CROSS JOIN nation n) t WHERE rank <= {KNN_K}"
-        ),
-        "knn_join": (
-            f"SELECT q_id, rank, pid, d2 FROM ("
-            f"  SELECT n.n_nationkey AS q_id, p.pid, "
-            f"         (p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}) AS d2, "
-            f"         ROW_NUMBER() OVER (PARTITION BY n.n_nationkey "
-            f"                            ORDER BY (p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}) ASC, p.pid ASC) AS rank "
-            f"  FROM {_PTS} p CROSS JOIN nation n) t WHERE rank <= {KNN_K}"
-        ),
+        "within_dist_join": wdist_sql,
+        "within_dist_join_df": wdist_sql,
+        "knn_join_ring": knn_sql,
+        "knn_join": knn_sql,
+        "knn_join_df": knn_sql,
         "envelope_agg": (
             f"SELECT {_cell_sql('x', 'y', COARSE)} AS cell_id, COUNT(*) AS n, "
             f"MIN(x) AS minx, MIN(y) AS miny, MAX(x) AS maxx, MAX(y) AS maxy "

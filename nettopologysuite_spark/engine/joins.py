@@ -303,12 +303,13 @@ def knn_join_ring(
                 pts.join(F.broadcast(ring), "cell_id")
                 .select("q_id", F.col(id_col), (dx * dx + dy * dy).alias("d2"))
             )
-            survivors = cand if survivors is None else survivors.unionByName(cand)
+            prev = survivors
+            merged = cand if prev is None else prev.unionByName(cand)
             from pyspark.sql import Window
 
             w = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col(id_col).asc())
             survivors = (
-                survivors.withColumn("_rk", F.row_number().over(w))
+                merged.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") <= k)
                 .drop("_rk")
             ).persist()
@@ -316,8 +317,10 @@ def knn_join_ring(
                 row["q_id"]: (row["cnt"], row["dk"])
                 for row in survivors.groupBy("q_id")
                 .agg(F.count("*").alias("cnt"), F.max("d2").alias("dk"))
-                .collect()
+                .collect()  # also materializes the new cache
             }
+            if prev is not None:
+                prev.unpersist()  # superseded survivor frame — no cache growth
         else:
             counts = {}
         done = set()
@@ -346,6 +349,165 @@ def knn_join_ring(
         survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", id_col, "d2")
+    )
+    return out
+
+
+def within_distance_join_table(
+    points: DataFrame,
+    queries: DataFrame,  # (q_id, cx, cy, r)
+    grid: Grid,
+    x: str = "x",
+    y: str = "y",
+    q_id: str = "q_id",
+    cx: str = "cx",
+    cy: str = "cy",
+    radius: str = "r",
+) -> DataFrame:
+    """All points within distance r of each query center — BOTH sides
+    DataFrames, zero driver-side query state.
+
+    The query side explodes to the cells covering its expanded envelope
+    with the same native ``sequence()`` arithmetic as the spatial joins
+    (a grid cover is a rectangle of cell indices — pure Catalyst), the
+    candidate join is a native equi-join on cell_id, and the refinement is
+    a codegen squared-distance comparison. No Python anywhere.
+    (IsWithinDistance semantics, Geometry.cs:468.)
+    """
+    from .tiling import explode_cover_native
+
+    q = queries.select(
+        F.col(q_id), F.col(cx), F.col(cy), F.col(radius),
+        F.struct(
+            (F.col(cx) - F.col(radius)).alias("minx"),
+            (F.col(cy) - F.col(radius)).alias("miny"),
+            (F.col(cx) + F.col(radius)).alias("maxx"),
+            (F.col(cy) + F.col(radius)).alias("maxy"),
+        ).alias("_env"),
+    )
+    qc = explode_cover_native(q, grid).drop("_env")
+    pts = with_cell_id(points, grid, x, y)
+    cand = pts.join(qc, "cell_id")
+    dx = F.col(x) - F.col(cx)
+    dy = F.col(y) - F.col(cy)
+    return cand.filter(dx * dx + dy * dy <= F.col(radius) * F.col(radius))
+
+
+def knn_join_table(
+    points: DataFrame,
+    queries: DataFrame,  # (q_id, qx, qy)
+    k: int,
+    grid: Grid,
+    id_col: str = "pid",
+    x: str = "x",
+    y: str = "y",
+    q_id: str = "q_id",
+    qx: str = "qx",
+    qy: str = "qy",
+) -> DataFrame:
+    """kNN join with the query side a DATAFRAME — no collect() of query
+    rows, ever; the driver coordinates only round counters (scalars).
+
+    Distributed ring expansion (the table form of ``knn_join_ring``; the
+    analog of ``Index/Strtree/STRtree.cs:556`` branch-and-bound, per query):
+
+    - Points tile once, repartition by cell_id and persist: every round's
+      candidate join reuses that partitioning, so only the (shrinking)
+      query side shuffles per round.
+    - Round t explodes each still-active query to the Chebyshev ANNULUS
+      of radii [r_lo, r_hi] around its cell — native ``sequence()``
+      explodes + an abs filter, no literal arrays, no Python. Annulus
+      radii grow geometrically (0; 1–2; 3–6; 7–14; …) so the number of
+      rounds is O(log n) even for queries in empty regions.
+    - Candidates fold into a running per-query top-k (window rank). A
+      query retires when its k-th distance is ≤ its distance to the
+      boundary of the examined cell square (every unexamined cell is
+      provably farther) — evaluated NATIVELY per query row; the driver
+      sees only the active-count scalar.
+    - Survivor/active frames ``localCheckpoint`` each round: the plan
+      lineage is TRUNCATED, not just cached, so per-round planning cost
+      stays constant (a persisted-only loop re-plans a growing DAG). At
+      production scale use a reliable checkpoint dir for fault tolerance.
+
+    Work per query is proportional to LOCAL density; shuffles per round are
+    proportional to the active query set, never the point table.
+    """
+    from pyspark.sql import Window
+
+    n = grid.n
+    pts = (
+        with_cell_id(points, grid, x, y)
+        .select(id_col, x, y, "cell_id")
+        .repartition(F.col("cell_id"))
+        .persist()
+    )
+    col_of = F.greatest(F.lit(0), F.least(F.lit(n - 1), F.floor(
+        (F.col(qx) - F.lit(grid.minx)) / F.lit(grid.cell_w)).cast("long")))
+    row_of = F.greatest(F.lit(0), F.least(F.lit(n - 1), F.floor(
+        (F.col(qy) - F.lit(grid.miny)) / F.lit(grid.cell_h)).cast("long")))
+    active = queries.select(
+        F.col(q_id), F.col(qx), F.col(qy),
+        col_of.alias("_qc"), row_of.alias("_qr"),
+    ).localCheckpoint()
+    w = Window.partitionBy(q_id).orderBy(F.col("d2").asc(), F.col(id_col).asc())
+    survivors: DataFrame | None = None
+    r_lo, r_hi = 0, 0
+    while r_lo <= n and active.count() > 0:
+        ring = (
+            active
+            .withColumn("_dx", F.explode(F.sequence(F.lit(-r_hi), F.lit(r_hi))))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-r_hi), F.lit(r_hi))))
+            .filter(F.greatest(F.abs(F.col("_dx")), F.abs(F.col("_dy"))) >= r_lo)
+            .withColumn("_ix", F.col("_qc") + F.col("_dx"))
+            .withColumn("_iy", F.col("_qr") + F.col("_dy"))
+            .filter((F.col("_ix") >= 0) & (F.col("_ix") < n)
+                    & (F.col("_iy") >= 0) & (F.col("_iy") < n))
+            .select(q_id, qx, qy,
+                    (F.col("_iy") * n + F.col("_ix")).cast("long").alias("cell_id"))
+        )
+        dx = F.col(x) - F.col(qx)
+        dy = F.col(y) - F.col(qy)
+        cand = pts.join(ring, "cell_id").select(
+            q_id, F.col(id_col), (dx * dx + dy * dy).alias("d2")
+        )
+        merged = cand if survivors is None else survivors.unionByName(cand)
+        survivors = (
+            merged.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+            .localCheckpoint()  # truncates lineage; supersedes prior rounds
+        )
+        # native retire test: margin from query point to the boundary of the
+        # examined (2·r_hi+1)² cell square; done iff k found AND dk ≤ margin²
+        stats = survivors.groupBy(q_id).agg(
+            F.count("*").alias("_cnt"), F.max("d2").alias("_dk")
+        )
+        x_lo = F.lit(grid.minx) + (F.col("_qc") - r_hi) * F.lit(grid.cell_w)
+        x_hi = F.lit(grid.minx) + (F.col("_qc") + r_hi + 1) * F.lit(grid.cell_w)
+        y_lo = F.lit(grid.miny) + (F.col("_qr") - r_hi) * F.lit(grid.cell_h)
+        y_hi = F.lit(grid.miny) + (F.col("_qr") + r_hi + 1) * F.lit(grid.cell_h)
+        margin = F.least(F.col(qx) - x_lo, x_hi - F.col(qx),
+                         F.col(qy) - y_lo, y_hi - F.col(qy))
+        covered_all = (
+            ((F.col("_qc") - r_hi) < 0) & ((F.col("_qc") + r_hi) >= n)
+            & ((F.col("_qr") - r_hi) < 0) & ((F.col("_qr") + r_hi) >= n)
+        )
+        done = (F.col("_cnt") >= k) & (
+            covered_all | ((margin >= 0) & (F.col("_dk") <= margin * margin))
+        )
+        active = (
+            active.join(stats, q_id, "left")
+            .filter(~F.coalesce(done, F.lit(False)))
+            .select(q_id, qx, qy, "_qc", "_qr")
+            .localCheckpoint()
+        )
+        r_lo = r_hi + 1
+        r_hi = min(max(2 * r_hi, 2), n)
+    pts.unpersist()
+    out = (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "rank", id_col, "d2")
     )
     return out
 

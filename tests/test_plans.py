@@ -64,6 +64,14 @@ def test_poly_poly_join_shape(spark, sf_dir):
     assert "sequence(greatest(" in plan, plan[:800]
 
 
+def test_within_dist_df_join_is_native(spark, sf_dir):
+    """Table-driven within-distance join: native cover explode + equi-join +
+    codegen distance refine — zero Python in the whole plan."""
+    plan = _plan(E.q_within_dist_join_df(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "sequence(" in plan  # native cover explode
+
+
 def test_geo_dedup_is_pure_codegen(spark, sf_dir):
     plan = _plan(E.q_geo_dedup(spark, sf_dir))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -1,0 +1,92 @@
+"""DataFrame-query-side kNN / within-distance joins: exact vs brute force,
+including sparse regions that force multi-round ring expansion, and cache
+hygiene (no persisted frames left behind)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _mk_points(spark, pts):
+    return spark.createDataFrame(
+        [(int(i), float(px), float(py)) for i, (px, py) in enumerate(pts)],
+        "pid long, x double, y double",
+    )
+
+
+def test_knn_join_table_exact_with_sparse_rings(spark):
+    from nettopologysuite_spark.engine.joins import knn_join_table
+    from nettopologysuite_spark.kernels.cells import Grid
+
+    rng = np.random.default_rng(42)
+    grid = Grid(0.0, 0.0, 100.0, 100.0, level=4)  # 16×16 cells
+    # dense cluster bottom-left, a few stragglers top-right: queries near the
+    # empty middle need several ring rounds before the margin bound retires
+    pts = np.concatenate([
+        rng.uniform(0, 30, (400, 2)),
+        rng.uniform(85, 100, (5, 2)),
+    ])
+    k = 7
+    queries = [(0, 15.0, 15.0), (1, 55.0, 55.0), (2, 99.0, 99.0), (3, 0.0, 99.0)]
+    pdf = _mk_points(spark, pts)
+    qdf = spark.createDataFrame(
+        [(q, float(a), float(b)) for q, a, b in queries],
+        "q_id long, qx double, qy double",
+    )
+    got = {
+        (r["q_id"], r["rank"]): (r["pid"], r["d2"])
+        for r in knn_join_table(pdf, qdf, k, grid).collect()
+    }
+    for q, qx_, qy_ in queries:
+        d2 = (pts[:, 0] - qx_) ** 2 + (pts[:, 1] - qy_) ** 2
+        order = np.lexsort((np.arange(len(pts)), d2))[:k]
+        for rank, i in enumerate(order, start=1):
+            pid, gd2 = got[(q, rank)]
+            assert pid == int(i)
+            assert gd2 == float(d2[i])
+    assert len(got) == len(queries) * k
+
+
+def test_knn_join_table_lineage_truncated(spark):
+    """The output plan must NOT accumulate per-round lineage (unions over
+    every annulus round): survivors are localCheckpoint'ed, so the final
+    plan is a window over one materialized RDD scan."""
+    from nettopologysuite_spark.engine.joins import knn_join_table
+    from nettopologysuite_spark.kernels.cells import Grid
+
+    grid = Grid(0.0, 0.0, 100.0, 100.0, level=4)
+    rng = np.random.default_rng(1)
+    pdf = _mk_points(spark, rng.uniform(0, 100, (200, 2)))
+    qdf = spark.createDataFrame(
+        [(0, 50.0, 50.0), (1, 2.0, 97.0)], "q_id long, qx double, qy double"
+    )
+    out = knn_join_table(pdf, qdf, 3, grid)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed survivors, not raw lineage
+    assert out.count() == 6
+
+
+def test_within_distance_join_table_exact(spark):
+    from nettopologysuite_spark.engine.joins import within_distance_join_table
+    from nettopologysuite_spark.kernels.cells import Grid
+
+    rng = np.random.default_rng(7)
+    grid = Grid(0.0, 0.0, 100.0, 100.0, level=4)
+    pts = rng.uniform(0, 100, (500, 2))
+    pdf = _mk_points(spark, pts)
+    qs = [("a", 20.0, 20.0, 9.0), ("b", 77.0, 40.0, 4.5), ("c", 99.0, 99.0, 30.0)]
+    qdf = spark.createDataFrame(qs, "q_id string, cx double, cy double, r double")
+    got = {
+        (r["q_id"], r["pid"])
+        for r in within_distance_join_table(pdf, qdf, grid).collect()
+    }
+    expect = set()
+    for q, cx_, cy_, rr in qs:
+        d2 = (pts[:, 0] - cx_) ** 2 + (pts[:, 1] - cy_) ** 2
+        for i in np.flatnonzero(d2 <= rr * rr):
+            expect.add((q, int(i)))
+    assert got == expect
