@@ -558,27 +558,24 @@ def _cell_sql(x: str, y: str, grid: Grid) -> str:
 
 
 _LANG_MARKERS = {
-    "en": [" the ", " and "],
-    "de": [" der ", " und "],
-    "fr": [" le ", " et "],
-    "es": [" el ", " y "],
+    "en": ["the", "and"],
+    "de": ["der", "und"],
+    "fr": ["le", "et"],
+    "es": ["el", "y"],
 }
 
+_WORDS_SQL = "regexp_split_to_array(TRIM(text), '\\s+')"
 
-def _count_sql(col: str, needle: str) -> str:
-    esc = needle.replace("'", "''")
-    return (
-        f"CAST((LENGTH({col}) - LENGTH(REPLACE({col}, '{esc}', ''))) "
-        f"/ {len(needle)} AS BIGINT)"
-    )
+
+def _marker_count_sql(targets: list[str]) -> str:
+    """Token-equality marker count over ONE shared split (mirrors
+    engine/text.py _marker_count exactly)."""
+    in_list = ", ".join(f"'{t}'" for t in targets)
+    return f"CAST(LEN(list_filter({_WORDS_SQL}, w -> w IN ({in_list}))) AS BIGINT)"
 
 
 def _lang_scores_sql() -> dict[str, str]:
-    pt = "(' ' || text || ' ')"
-    return {
-        lang: "(" + " + ".join(_count_sql(pt, m) for m in ms) + ")"
-        for lang, ms in _LANG_MARKERS.items()
-    }
+    return {lang: _marker_count_sql(ms) for lang, ms in _LANG_MARKERS.items()}
 
 
 def _grams_cte() -> str:
@@ -609,10 +606,7 @@ def _lang_id_oracle() -> str:
 
 
 def _doc_quality_oracle() -> str:
-    pt = "(' ' || text || ' ')"
-    n_stop = " + ".join(
-        _count_sql(pt, m) for ms in _LANG_MARKERS.values() for m in ms
-    )
+    n_stop = _marker_count_sql([m for ms in _LANG_MARKERS.values() for m in ms])
     n_tokens = (
         "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
         "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END"

@@ -15,20 +15,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 LANG_MARKERS = {
-    "en": [" the ", " and "],
-    "de": [" der ", " und "],
-    "fr": [" le ", " et "],
-    "es": [" el ", " y "],
+    "en": ["the", "and"],
+    "de": ["der", "und"],
+    "fr": ["le", "et"],
+    "es": ["el", "y"],
 }
 
 
-def _count_occurrences(col, needle: str):
-    """Occurrences of needle via length difference (identical semantics in
-    any SQL engine's REPLACE)."""
-    return (
-        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
-        / F.lit(len(needle))
-    ).cast("long")
+def _words_col(text_col: str):
+    """ONE tokenization pass shared by every marker count: split on
+    whitespace (the per-marker REPLACE-scan pattern re-read the full text
+    once per marker — 16 scans across lang_id + doc_quality)."""
+    t = F.col(text_col)
+    return F.split(F.trim(t), r"\s+")
+
+
+def _marker_count(words, targets: list[str]):
+    """Number of tokens equal to any target word — a JVM higher-order
+    filter over the already-split array, no further text traffic."""
+    return F.size(F.filter(words, lambda w: w.isin(*targets))).cast("long")
 
 
 def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -47,15 +52,13 @@ def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def doc_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     t = F.col(text_col)
-    padded = F.concat(F.lit(" "), t, F.lit(" "))
     n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(t), r"\s+"))
+        F.size(F.col("_words"))
     )
     n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[.!?,;]", ""))
-    n_stop = sum(
-        _count_occurrences(padded, m) for ms in LANG_MARKERS.values() for m in ms
-    )
-    return docs.select(
+    all_markers = [m for ms in LANG_MARKERS.values() for m in ms]
+    n_stop = _marker_count(F.col("_words"), all_markers)
+    return docs.withColumn("_words", _words_col(text_col)).select(
         id_col,
         F.length(t).alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
@@ -68,19 +71,14 @@ def doc_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic stopword-count argmax with fixed tiebreak order."""
-    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
     scores = {
-        lang: sum(_count_occurrences(t, m) for m in ms)
+        lang: _marker_count(F.col("_words"), ms)
         for lang, ms in LANG_MARKERS.items()
     }
     langs = list(LANG_MARKERS)
-    best = F.lit(langs[0])
-    best_score = scores[langs[0]]
-    for lang in langs[1:]:
-        cond = scores[lang] > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    out = docs.select(id_col, *[scores[l].alias(f"sc_{l}") for l in langs])
+    out = docs.withColumn("_words", _words_col(text_col)).select(
+        id_col, *[scores[l].alias(f"sc_{l}") for l in langs]
+    )
     return out.withColumn(
         "lang_pred",
         F.when(sum(F.col(f"sc_{l}") for l in langs) == 0, F.lit("und")).otherwise(
