@@ -26,6 +26,7 @@ from ..kernels.hull import convex_hull as k_hull
 from ..kernels.overlay import overlay as k_overlay
 from ..kernels.relate import relate as k_relate, relate_predicate
 from ..kernels.simple import is_simple as k_is_simple
+from ..kernels.fixer import fix as k_fix
 from ..kernels.valid import is_valid as k_is_valid
 
 
@@ -428,6 +429,7 @@ def build_registry() -> dict:
         "ST_ConvexHull": _unary_geom(k_hull),
         "ST_Boundary": _unary_geom(k_boundary),
         "ST_IsValid": _unary_bool(k_is_valid),
+        "ST_MakeValid": _unary_geom(k_fix),
         "ST_IsSimple": _unary_bool(k_is_simple),
         "ST_Buffer": st_buffer,
         "ST_BufferStyle": st_buffer_style,

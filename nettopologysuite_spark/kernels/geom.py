@@ -293,7 +293,10 @@ def _read_geom(sc: _WktScanner) -> Geom:
         sc.expect("(")
         parts = []
         while True:
-            parts.append(Geom(LINESTRING, coords=_read_coords(sc, extra)))
+            if _maybe_empty(sc):  # EMPTY element inside a MULTI (WKTReader.cs)
+                parts.append(Geom(LINESTRING, coords=np.empty((0, 2))))
+            else:
+                parts.append(Geom(LINESTRING, coords=_read_coords(sc, extra)))
             if sc.peek() == ")":
                 sc.expect(")")
                 break
