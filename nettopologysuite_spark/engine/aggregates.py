@@ -19,8 +19,19 @@ from ..kernels.hull import convex_hull, hull_coords
 from ..kernels.union_op import cascaded_union
 
 
-def distributed_union(df: DataFrame, wkb_col: str = "geom_wkb") -> DataFrame:
-    """One-row DataFrame (union_wkb binary) = union of all input geometries."""
+def distributed_union(df: DataFrame, wkb_col: str = "geom_wkb",
+                      fanin: int = 16, reduce_partitions: int | None = None)\
+        -> DataFrame:
+    """One-row DataFrame (union_wkb binary) = union of all input geometries.
+
+    The final reduction is STAGED (pairwise tree rounds, fan-in ``fanin``):
+    partials hash into ``ceil(n_partials / fanin)`` groups, each group unions
+    in parallel, and rounds repeat until one row remains — the true
+    CascadedPolygonUnion tree shape (``Operation/Union/CascadedPolygonUnion
+    .cs:162-174``). A single-task final reduce is fine to ~10⁴ partials but
+    becomes the straggler beyond; the tree bounds every task to ``fanin``
+    unions.
+    """
 
     def partial(batches):
         geoms = []
@@ -30,16 +41,20 @@ def distributed_union(df: DataFrame, wkb_col: str = "geom_wkb") -> DataFrame:
             yield pd.DataFrame({"w": [wkb_dumps(cascaded_union(geoms))]})
 
     partials = df.select(wkb_col).mapInPandas(partial, "w binary")
+    n = df.rdd.getNumPartitions() if reduce_partitions is None else reduce_partitions
 
-    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         geoms = [wkb_loads(bytes(b)) for b in pdf["w"]]
-        return pd.DataFrame({"union_wkb": [wkb_dumps(cascaded_union(geoms))]})
+        return pd.DataFrame({"w": [wkb_dumps(cascaded_union(geoms))]})
 
-    return (
-        partials.groupBy(F.lit(1).alias("g"))
-        .applyInPandas(final, "union_wkb binary")
-        .select("union_wkb")
-    )
+    level = 0
+    while n > 1:
+        n = -(-n // fanin)
+        key = F.pmod(F.xxhash64(F.col("w"), F.lit(level)), F.lit(n)).alias("g")
+        partials = partials.groupBy(key).applyInPandas(reduce_group, "w binary")
+        level += 1
+
+    return partials.select(F.col("w").alias("union_wkb"))
 
 
 def distributed_convex_hull(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:

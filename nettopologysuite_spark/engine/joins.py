@@ -110,30 +110,43 @@ def pip_join_points_sortmerge(
     produced exactly once. AQE skew-join remains on as backstop.
     """
     spark = points.sparkSession
-    # persist the tiled projection: the hot-cell count pass and the join
+    # persist the tiled projection: the hot-cell sampling pass and the join
     # probe the SAME materialization — the big side is scanned from source
-    # exactly once (the count pass materializes it, the join reads the
-    # in-memory/disk copy), instead of two full parquet scans
+    # exactly once, instead of two full parquet scans
     pts = with_cell_id(points, grid, x, y).persist()
-    # 1. per-cell counts → salt factors for hot cells (tiny aggregate)
-    counts = pts.groupBy("cell_id").count()
-    hot = {
-        int(r["cell_id"]): int(-(-r["count"] // hot_cell_threshold))
-        for r in counts.filter(F.col("count") > hot_cell_threshold).collect()
-    }
-    # 2. salted cover relation (hot cells replicated per salt)
-    rows = []
-    for cell, poly_id in pack.cover_rows(grid):
-        for salt in range(hot.get(cell, 1)):
-            rows.append((cell, salt, poly_id))
-    cover = spark.createDataFrame(rows, "cell_id long, salt int, poly_id string")
-    # 3. salted points
-    salt_map = spark.createDataFrame(
-        [(c, k) for c, k in hot.items()] or [(-1, 1)], "cell_id long, k int"
+    # 1. salt factors from a SAMPLED sketch (fixed seed → deterministic),
+    #    kept as a DataFrame — no exact count, no collect to the driver.
+    #    Correctness never depends on the estimate: both sides derive salt
+    #    counts from the SAME relation, so every pair still appears exactly
+    #    once; the estimate only tunes skew spreading.
+    frac = 0.05
+    hot = (
+        pts.sample(fraction=frac, seed=7)
+        .groupBy("cell_id")
+        .count()
+        .select(
+            "cell_id",
+            F.ceil(F.col("count") / F.lit(frac) / F.lit(hot_cell_threshold))
+            .cast("int").alias("k"),
+        )
+        .filter(F.col("k") > 1)
     )
+    # 2. salted cover relation built as a DATAFRAME: replicate hot cells
+    #    with a native sequence() explode, not a driver loop
+    cover_base = spark.createDataFrame(
+        list(pack.cover_rows(grid)), "cell_id long, poly_id string"
+    )
+    cover = (
+        cover_base.join(F.broadcast(hot), "cell_id", "left")
+        .withColumn("_k", F.coalesce(F.col("k"), F.lit(1)))
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.col("_k") - 1)))
+        .withColumn("salt", F.col("_salt").cast("int"))
+        .drop("k", "_k", "_salt")
+    )
+    # 3. salted points (same hot relation → consistent salt domain)
     salt_src = F.xxhash64(F.col(id_col)) if id_col else F.xxhash64(F.col(x), F.col(y))
     pts_salted = (
-        pts.join(F.broadcast(salt_map), "cell_id", "left")
+        pts.join(F.broadcast(hot), "cell_id", "left")
         .withColumn("salt", F.when(F.col("k").isNull(), F.lit(0))
                     .otherwise(F.pmod(salt_src, F.col("k"))).cast("int"))
         .drop("k")

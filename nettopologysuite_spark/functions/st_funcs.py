@@ -410,6 +410,37 @@ def build_registry() -> dict:
         )
 
     @pandas_udf("binary")
+    def st_concave_hull_of_polygons(wkb: pd.Series, ratio: pd.Series) -> pd.Series:
+        """Concave hull of a polygonal input, respecting the polygons as
+        constraints (Algorithm/Hull/ConcaveHullOfPolygons.cs, length-ratio
+        criterion)."""
+        from ..kernels.concave_polygons import concave_hull_of_polygons
+
+        return pd.Series(
+            [
+                None if g is None else wkb_dumps(
+                    concave_hull_of_polygons(g, length_ratio=float(r))
+                )
+                for g, r in zip(_geoms(wkb), ratio)
+            ]
+        )
+
+    @pandas_udf("binary")
+    def st_conforming_delaunay_edges(sites: pd.Series, cons: pd.Series) -> pd.Series:
+        """Conforming Delaunay edges of sites + linear constraints
+        (Triangulate/ConformingDelaunayTriangulationBuilder.cs GetEdges)."""
+        from ..kernels.conforming import conforming_delaunay_edges
+
+        gs = _geoms(sites)
+        gc = _geoms(cons)
+        return pd.Series(
+            [
+                None if s is None else wkb_dumps(conforming_delaunay_edges(s, c))
+                for s, c in zip(gs, gc)
+            ]
+        )
+
+    @pandas_udf("binary")
     def st_offset_curve(wkb: pd.Series, dist: pd.Series) -> pd.Series:
         from ..kernels.offset import offset_curve
 
@@ -451,6 +482,8 @@ def build_registry() -> dict:
         "ST_Disjoint": _binary_bool("disjoint"),
         "ST_Equals": _binary_bool("equalstopo"),
         "ST_ConcaveHull": st_concave_hull,
+        "ST_ConcaveHullOfPolygons": st_concave_hull_of_polygons,
+        "ST_ConformingDelaunayEdges": st_conforming_delaunay_edges,
         "ST_MinimumDiameter": st_minimum_diameter,
         "ST_MinimumRectangle": st_minimum_rectangle,
         "ST_DelaunayTriangles": st_delaunay,
