@@ -393,6 +393,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, ANN_NQ, ANN_K)
 
 
+def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket self-join candidates +
+    exact quantized-cosine threshold (the embedding analog of minhash_lsh)."""
+    from nettopologysuite_spark.engine.ann import embed_cosine_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embed_cosine_dedup(emb, threshold_pct=40)
+
+
 def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed cascaded union of the (disjoint) nation rectangles;
     output count + exact union area (oracle: sum of rectangle areas)."""
@@ -533,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "knn_embedding": q_knn_embedding,
         "ann_lsh": q_ann_lsh,
+        "embed_dedup": q_embed_dedup,
         "union_area": q_union_area,
         "zonal_stats": q_zonal_stats,
         "ngram_jaccard": q_ngram_jaccard,
@@ -694,6 +704,12 @@ def _ann_oracle() -> str:
     return ann_lsh_oracle_sql(ANN_NQ, ANN_K)
 
 
+def _embed_dedup_oracle() -> str:
+    from nettopologysuite_spark.engine.ann import embed_cosine_dedup_oracle_sql
+
+    return embed_cosine_dedup_oracle_sql(threshold_pct=40)
+
+
 def oracle_sql() -> dict[str, str]:
     oct_pred = nation_octagon_sql_pred("p.x", "p.y", "n.n_nationkey")
     rect_pred = nation_rect_sql_pred("p.x", "p.y", "n.n_nationkey")
@@ -767,7 +783,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, LENGTH(text) AS n_chars_m, "
             "CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
             "ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens, "
-            "LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;]', '', 'g')) AS n_punct "
+            "LENGTH(text) - LENGTH(regexp_replace(text, '[.!?,;]', '', 'g')) AS n_punct, "
+            "CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) "
+            "AS BIGINT) AS n_subtokens "
             "FROM documents"
         ),
         "union_area": (
@@ -819,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes s2 ON s2.doc_id = i.d2 "
             "WHERE i.ni * 100 >= (s1.n + s2.n - i.ni) * 80"
         ),
+        "embed_dedup": _embed_dedup_oracle(),
         "lang_id": _lang_id_oracle(),
         "doc_quality": _doc_quality_oracle(),
         "simhash": _simhash_oracle(),

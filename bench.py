@@ -162,12 +162,20 @@ def main():
 
     spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
+    # best-of-2 per query: this VM's absolute speed drifts ~2× over minutes
+    # (noisy neighbors — observed on identical binaries run back-to-back),
+    # so a single sample conflates engine cost with host weather; the min of
+    # two runs damps GC/scheduler/neighbor spikes (same methodology as the
+    # scaling probe). The first pass also serves as the warm-up.
     timings = {}
-    for name, fn in E.queries().items():
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _rep in range(2):
+        for name, fn in E.queries().items():
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
     spark.stop()
 
     scaling = None if SKIP_SCALING else run_scaling_probe()

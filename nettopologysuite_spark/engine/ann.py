@@ -92,6 +92,111 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int, k: int,
     )
 
 
+def embed_cosine_dedup(emb: DataFrame, threshold_pct: int = 40,
+                       id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: LSH-bucket self-join for
+    candidates, exact quantized cosine ≥ threshold on candidates only.
+
+    The 100-TB dedup shape: one linear signature pass (JVM higher-order
+    functions), a bucket self-join on BARE IDS (candidate dedup shuffles id
+    pairs only — never the embedding arrays), then embeddings join back by
+    id for the exact re-check on the deduped candidates. Quantized vectors
+    and norms are computed once per ROW, not per pair. Like every LSH
+    dedup, candidacy is approximate (a qualifying pair missing every band is
+    not reported); the oracle mirrors the identical candidacy definition, so
+    the result is bit-reproducible.
+
+    Scale knob: candidate volume is Σ_buckets c² with 4-bit bands (16
+    values) here — sized for the sandbox's 5k vectors. At production n,
+    raise ``N_PLANES`` (wider bands → exponentially more buckets) exactly as
+    MinHash raises its band count; the plan shape is unchanged."""
+    planes = hyperplanes()
+    sig = emb.select(F.col(id_col), *_sig_cols(emb_col, planes))
+    buckets = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("val"))
+            for b in range(BANDS)
+        ])).alias("bk"),
+    ).select(id_col, "bk.band", "bk.val")
+    right = buckets.select(F.col(id_col).alias("id2"), "band", "val")
+    pairs = (
+        buckets.join(right, ["band", "val"])
+        .filter(F.col(id_col) < F.col("id2"))
+        .select(F.col(id_col).alias("d1"), F.col("id2").alias("d2"))
+        .distinct()
+    )
+    qe = f"transform({emb_col}, x -> floor(CAST(x AS DOUBLE) * 1024D))"
+    qv = emb.select(
+        F.col(id_col),
+        F.expr(qe).alias("qv"),
+        F.expr(f"sqrt(aggregate({qe}, 0D, (a, v) -> a + v * v))").alias("nrm"),
+    )
+    scored = (
+        pairs
+        .join(qv.select(F.col(id_col).alias("d1"), F.col("qv").alias("v1"),
+                        F.col("nrm").alias("n1")), "d1")
+        .join(qv.select(F.col(id_col).alias("d2"), F.col("qv").alias("v2"),
+                        F.col("nrm").alias("n2")), "d2")
+        .withColumn("sim", F.expr(
+            "aggregate(zip_with(v1, v2, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+            " / (n1 * n2)"
+        ))
+    )
+    return (
+        scored.filter(F.col("sim") * 100 >= threshold_pct)
+        .select("d1", "d2", "sim")
+    )
+
+
+def embed_cosine_dedup_oracle_sql(threshold_pct: int = 40) -> str:
+    """The identical definition in ANSI SQL (DuckDB) over the embeddings
+    view — bit-for-bit comparable with :func:`embed_cosine_dedup`."""
+    planes = hyperplanes()
+    n_per_band = len(planes) // BANDS
+
+    def sig_expr() -> list[str]:
+        bits = []
+        for plane in planes:
+            arr = "[" + ", ".join(f"CAST({h} AS DOUBLE)" for h in plane) + "]"
+            dot = (
+                "list_sum(list_transform(list_zip(list_transform(e.embedding, "
+                f"x -> floor(CAST(x AS DOUBLE) * 1024)), {arr}), p -> p[1] * p[2]))"
+            )
+            bits.append(f"(CASE WHEN COALESCE({dot}, 0) >= 0 THEN 1 ELSE 0 END)")
+        return [
+            "(" + " + ".join(
+                f"({bits[b * n_per_band + i]} * {1 << i})" for i in range(n_per_band)
+            ) + ")"
+            for b in range(BANDS)
+        ]
+
+    e_bands = sig_expr()
+    return (
+        "WITH s AS (SELECT e.vec_id, e.embedding, "
+        + ", ".join(f"{e_bands[b]} AS band{b}" for b in range(BANDS))
+        + " FROM embeddings e), "
+        "bk AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, embedding, {b} AS band, band{b} AS val FROM s"
+            for b in range(BANDS)
+        )
+        + "), "
+        "cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2, "
+        "a.embedding AS e1, b.embedding AS e2 FROM bk a JOIN bk b "
+        "ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id), "
+        "scored AS (SELECT d1, d2, "
+        "  list_sum(list_transform(list_zip("
+        "    list_transform(e1, x -> floor(CAST(x AS DOUBLE) * 1024)), "
+        "    list_transform(e2, x -> floor(CAST(x AS DOUBLE) * 1024))), "
+        "    p -> p[1] * p[2])) "
+        "  / (sqrt(list_sum(list_transform(e1, x -> floor(CAST(x AS DOUBLE) * 1024) * floor(CAST(x AS DOUBLE) * 1024)))) "
+        "   * sqrt(list_sum(list_transform(e2, x -> floor(CAST(x AS DOUBLE) * 1024) * floor(CAST(x AS DOUBLE) * 1024))))) AS sim "
+        "FROM cand) "
+        f"SELECT d1, d2, sim FROM scored WHERE sim * 100 >= {threshold_pct}"
+    )
+
+
 def ann_lsh_oracle_sql(n_queries: int, k: int) -> str:
     """The identical definition in ANSI SQL (DuckDB) over the embeddings
     view — bit-for-bit comparable with :func:`ann_lsh_topk`."""

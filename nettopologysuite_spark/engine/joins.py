@@ -417,6 +417,7 @@ def knn_join_table(
     q_id: str = "q_id",
     qx: str = "qx",
     qy: str = "qy",
+    r0: int = 2,
 ) -> DataFrame:
     """kNN join with the query side a DATAFRAME — no collect() of query
     rows, ever; the driver coordinates only round counters (scalars).
@@ -464,7 +465,10 @@ def knn_join_table(
     ).localCheckpoint()
     w = Window.partitionBy(q_id).orderBy(F.col("d2").asc(), F.col(id_col).asc())
     survivors: DataFrame | None = None
-    r_lo, r_hi = 0, 0
+    # first window spans radii [0, r0] at once: every round costs several
+    # fixed-overhead jobs, and a query with ≥k local points retires in
+    # round one when the window already clears its margin bound
+    r_lo, r_hi = 0, max(0, r0)
     while r_lo <= n and active.count() > 0:
         ring = (
             active

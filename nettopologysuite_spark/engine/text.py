@@ -36,8 +36,15 @@ def _marker_count(words, targets: list[str]):
     return F.size(F.filter(words, lambda w: w.isin(*targets))).cast("long")
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-alnum marks
+# (the RE2-safe core of GPT-2's split pattern — no lookahead, portable to
+# DuckDB's regexp engine for the oracle)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc char/token/punctuation counts (the token-counting operator)."""
+    """Per-doc char/token/punctuation counts (the token-counting operator):
+    whitespace tokens + BPE-ish subtoken count."""
     t = F.col(text_col)
     n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim(t), r"\s+"))
@@ -47,6 +54,7 @@ def doc_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.length(t).alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
         (F.length(t) - F.length(F.regexp_replace(t, r"[.!?,;]", ""))).alias("n_punct"),
+        F.regexp_count(t, F.lit(BPE_TOKEN_RE)).cast("long").alias("n_subtokens"),
     )
 
 
