@@ -76,6 +76,12 @@ def word_bigrams(docs: DataFrame, text_col: str = "text",
 
 
 def _jaccard_counts(grams: DataFrame, pairs: DataFrame) -> DataFrame:
+    # ``pairs`` is referenced THREE times below (candidate ids, the
+    # intersection join, the final assembly) and its producing plan may be
+    # the whole LSH pipeline — persist it so that pipeline runs ONCE, not
+    # once per reference (at 100 TB the analog is materializing candidates
+    # to storage between stages)
+    pairs = pairs.persist()
     # semi-join grams down to candidate doc ids FIRST: the verify join then
     # streams only candidate grams, not the full corpus gram table — at
     # 100 TB candidates are a vanishing fraction of all docs
@@ -85,8 +91,9 @@ def _jaccard_counts(grams: DataFrame, pairs: DataFrame) -> DataFrame:
         .distinct()
     )
     # dedup AFTER the semi-join: only candidate docs' grams pay the distinct
-    # shuffle (callers may pass non-distinct grams)
-    grams = grams.join(cand_ids, "_id", "left_semi").distinct()
+    # shuffle (callers may pass non-distinct grams); persisted because the
+    # sizes aggregate and BOTH sides of the intersection join read it
+    grams = grams.join(cand_ids, "_id", "left_semi").distinct().persist()
     sizes = grams.groupBy("_id").agg(F.count("*").alias("sz"))
     g1 = grams.withColumnRenamed("_id", "d1")
     g2 = grams.withColumnRenamed("_id", "d2")
@@ -151,11 +158,27 @@ def minhash_lsh_pairs(
     probability at j=0.8 is (1-0.64)^32 ≈ 6e-7.
     """
     # signatures are duplicate-insensitive → skip the full-corpus distinct;
-    # the exact verify below deduplicates candidate grams only
-    grams = word_bigrams(docs, text_col, id_col, distinct=False)
-    sig = grams.groupBy("_id").agg(
+    # the exact verify below deduplicates candidate grams only. Persisted:
+    # the signature pass and the verify both shingle from this frame.
+    grams = word_bigrams(docs, text_col, id_col, distinct=False).persist()
+    # ONE string hash per gram; the num_hashes signature functions are
+    # affine derivations h_i = (a_i·h + b_i) mod p over a Mersenne prime
+    # (the standard universal-hash MinHash family) — 64 multiply-adds per
+    # row instead of 64 full string hashes. Candidates are still verified
+    # with exact jaccard, so bucket composition never affects correctness.
+    P = (1 << 31) - 1
+    _A = 2654435761
+    _B = 2246822519
+    hashed = grams.withColumn("_h0", F.pmod(F.xxhash64(F.col("gram")), F.lit(P)))
+    sig = hashed.groupBy("_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"h{i}")
+            F.min(
+                F.pmod(
+                    F.col("_h0") * F.lit((_A * (i + 1)) % (1 << 20) | 1)
+                    + F.lit((_B * (i + 1)) % P),
+                    F.lit(P),
+                )
+            ).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
