@@ -29,20 +29,21 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def char_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """(id, gram) distinct character n-grams — native sequence/explode."""
-    return (
-        docs.select(
-            F.col(id_col).alias("_id"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
-                    f" i -> substring({text_col}, i, {n}))"
-                )
-            ).alias("gram"),
-        )
-        .distinct()
+                id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """(id, gram) character n-grams — native sequence/explode.
+
+    ``distinct=False`` skips the dedup shuffle for consumers defined over
+    the gram MULTISET (weighted SimHash)."""
+    out = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+                f" i -> substring({text_col}, i, {n}))"
+            )
+        ).alias("gram"),
     )
+    return out.distinct() if distinct else out
 
 
 def word_bigrams(docs: DataFrame, text_col: str = "text",
@@ -214,7 +215,11 @@ def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = 60,
     natively as one conditional-sum aggregate per bit. The gram hash is the
     first 60 bits of md5 (15 hex digits → BIGINT), which any SQL engine
     reproduces bit-for-bit (DuckDB: CAST('0x'||substr(md5(g),1,15) AS
-    BIGINT)) — xxhash64 would be Spark-only."""
+    BIGINT)) — xxhash64 would be Spark-only.
+
+    Set-based SimHash (votes over DISTINCT grams): the distinct shuffle
+    runs on raw gram strings BEFORE the md5 pass, which measured faster
+    than the multiset variant (md5 dominates; fewer rows reach it)."""
     grams = char_ngrams(docs, n, text_col, id_col)
     h = grams.withColumn(
         "gh", F.expr("CAST(CONV(SUBSTRING(md5(gram), 1, 15), 16, 10) AS BIGINT)")
