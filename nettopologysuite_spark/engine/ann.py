@@ -43,7 +43,9 @@ def _sig_cols(emb_col: str, planes: list[list[int]]):
             f"aggregate(zip_with({emb_col}, {arr}, "
             f"(x, h) -> floor(CAST(x AS DOUBLE) * 1024D) * h), 0D, (a, v) -> a + v)"
         )
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END)")
+        # coalesce mirrors the DuckDB oracle's COALESCE(dot, 0): a NULL
+        # embedding must land in the same bucket on both engines
+        bits.append(f"(CASE WHEN coalesce({dot}, 0D) >= 0 THEN 1 ELSE 0 END)")
     n_per_band = len(planes) // BANDS
     cols = []
     for b in range(BANDS):

@@ -105,7 +105,7 @@ def _jaccard_counts(grams: DataFrame, pairs: DataFrame) -> DataFrame:
     )
     s1 = sizes.withColumnRenamed("_id", "d1").withColumnRenamed("sz", "s1")
     s2 = sizes.withColumnRenamed("_id", "d2").withColumnRenamed("sz", "s2")
-    return (
+    out = (
         pairs.join(inter, ["d1", "d2"], "left")
         .na.fill({"ni": 0})
         .join(s1, "d1")
@@ -115,6 +115,12 @@ def _jaccard_counts(grams: DataFrame, pairs: DataFrame) -> DataFrame:
             (F.col("s1") + F.col("s2") - F.col("ni")).cast("long").alias("nu"),
         )
     )
+    # materialize the (small) verified-pair result, then RELEASE the
+    # intermediate caches — persisted frames must not outlive the query
+    out = out.localCheckpoint(eager=True)
+    grams.unpersist()
+    pairs.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -161,25 +167,14 @@ def minhash_lsh_pairs(
     # signatures are duplicate-insensitive → skip the full-corpus distinct;
     # the exact verify below deduplicates candidate grams only. Persisted:
     # the signature pass and the verify both shingle from this frame.
+    # Each of the num_hashes signature functions is an INDEPENDENT 64-bit
+    # string hash (seeded xxhash64): a shared-base affine family was
+    # measured no faster here and weakens the (1-j^r)^b miss bound the
+    # brute-force oracle holds this operator to.
     grams = word_bigrams(docs, text_col, id_col, distinct=False).persist()
-    # ONE string hash per gram; the num_hashes signature functions are
-    # affine derivations h_i = (a_i·h + b_i) mod p over a Mersenne prime
-    # (the standard universal-hash MinHash family) — 64 multiply-adds per
-    # row instead of 64 full string hashes. Candidates are still verified
-    # with exact jaccard, so bucket composition never affects correctness.
-    P = (1 << 31) - 1
-    _A = 2654435761
-    _B = 2246822519
-    hashed = grams.withColumn("_h0", F.pmod(F.xxhash64(F.col("gram")), F.lit(P)))
-    sig = hashed.groupBy("_id").agg(
+    sig = grams.groupBy("_id").agg(
         *[
-            F.min(
-                F.pmod(
-                    F.col("_h0") * F.lit((_A * (i + 1)) % (1 << 20) | 1)
-                    + F.lit((_B * (i + 1)) % P),
-                    F.lit(P),
-                )
-            ).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("gram"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -205,7 +200,8 @@ def minhash_lsh_pairs(
         .select(F.col("l._id").alias("d1"), F.col("r._id").alias("d2"))
         .distinct()
     )
-    verified = _jaccard_counts(grams, cand)
+    verified = _jaccard_counts(grams, cand)  # materializes, then releases caches
+    grams.unpersist()
     return verified.where(F.col("ni") * 100 >= F.col("nu") * threshold_pct)
 
 

@@ -488,11 +488,16 @@ def knn_join_table(
             q_id, F.col(id_col), (dx * dx + dy * dy).alias("d2")
         )
         merged = cand if survivors is None else survivors.unionByName(cand)
+        # localCheckpoint truncates lineage each round (constant planning
+        # cost); superseded rounds' checkpoint blocks are released by the
+        # ContextCleaner once this rebinding drops the last reference —
+        # survivor frames are per-query top-k rows, so the transient overlap
+        # is k·|queries| rows, not point-table-sized
         survivors = (
             merged.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k)
             .drop("_rk")
-            .localCheckpoint()  # truncates lineage; supersedes prior rounds
+            .localCheckpoint()
         )
         # native retire test: margin from query point to the boundary of the
         # examined (2·r_hi+1)² cell square; done iff k found AND dk ≤ margin²
@@ -521,6 +526,12 @@ def knn_join_table(
         r_lo = r_hi + 1
         r_hi = min(max(2 * r_hi, 2), n)
     pts.unpersist()
+    if survivors is None:  # empty query table → empty, correctly-typed result
+        qt = dict(queries.dtypes)[q_id]
+        it = dict(points.dtypes)[id_col]
+        return points.sparkSession.createDataFrame(
+            [], f"{q_id} {qt}, rank int, {id_col} {it}, d2 double"
+        )
     out = (
         survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -704,9 +715,12 @@ def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
                 out[sel] = batch_intersects(gb_left, idx_all[sel], pr)
         else:
             rgeoms = [wkb_loads(bytes(b)) for b in runiq]
-            lblobs = lwkb.to_list()
+            # factorize lefts too: a geometry in m candidate pairs of this
+            # batch parses once, not m times
+            lcodes, luniq = pd.factorize(lwkb.to_numpy(object))
+            lgeoms = [wkb_loads(bytes(b)) for b in luniq]
             for i in range(n):
-                out[i] = pair_eval(wkb_loads(bytes(lblobs[i])), rgeoms[rcodes[i]])
+                out[i] = pair_eval(lgeoms[lcodes[i]], rgeoms[rcodes[i]])
         return pd.Series(out)
 
     return _refine

@@ -2,9 +2,9 @@
 
 For (x, y) double columns the cell id is a *pure Catalyst projection*
 (floor arithmetic) — whole-stage-codegen'd JVM-side, pushdown-friendly,
-no Python at all. The pandas-UDF path exists only for WKB geometry
-columns (decode → envelope → cover cells), and uses the all-points
-vectorized fast path of ``kernels.geom.wkb_to_points``.
+no Python at all. WKB geometry columns cross Python exactly once, through
+the vectorized ``envelope_struct_udf``; the cover-cells explode itself is
+native ``sequence()`` arithmetic (``explode_cover_native``).
 """
 
 from __future__ import annotations
@@ -133,22 +133,3 @@ def explode_cover_native(df: DataFrame, grid: Grid, env: str = "_env",
     )
 
 
-def cover_cells_udf(grid: Grid, expand: float = 0.0):
-    """Covering cell ids (array<long>) of arbitrary WKB geometries, via
-    envelope cover — the multi-cell replication step for non-point inputs."""
-
-    @pandas_udf("array<long>")
-    def _cover(wkb: pd.Series) -> pd.Series:
-        envs = envelopes_of_wkb(wkb.to_list())
-        out = []
-        for minx, miny, maxx, maxy in envs:
-            if minx != minx:  # NaN → empty geometry
-                out.append([])
-            else:
-                out.append(
-                    [int(c) for c in grid.cover_envelope(
-                        minx - expand, miny - expand, maxx + expand, maxy + expand)]
-                )
-        return pd.Series(out)
-
-    return _cover

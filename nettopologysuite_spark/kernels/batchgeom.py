@@ -65,11 +65,14 @@ class GeomBatch:
       sax..sby         ALL segments (linestring parts + polygon rings);
                        s_start (n+1)
       pax..pby         polygon-ring segments only (even-odd area test);
-                       p_start (n+1)
+                       p_start (n+1); p_leaf labels each segment with its
+                       POLYGON LEAF id — parity is evaluated PER LEAF and
+                       OR-ed (even-odd across a whole multipolygon would
+                       cancel on overlapping parts)
     """
 
     __slots__ = ("n", "vx", "vy", "v_start", "sax", "say", "sbx", "sby",
-                 "s_start", "pax", "pay", "pbx", "pby", "p_start")
+                 "s_start", "pax", "pay", "pbx", "pby", "p_start", "p_leaf")
 
     def __init__(self, geoms: list[Geom | None]):
         n = len(geoms)
@@ -79,10 +82,12 @@ class GeomBatch:
         s_b: list[np.ndarray] = []
         p_a: list[np.ndarray] = []
         p_b: list[np.ndarray] = []
+        p_leaf_chunks: list[np.ndarray] = []
         v_start = np.zeros(n + 1, dtype=np.int64)
         s_start = np.zeros(n + 1, dtype=np.int64)
         p_start = np.zeros(n + 1, dtype=np.int64)
         nv = ns = npg = 0
+        leaf_ctr = 0
         for i, g in enumerate(geoms):
             if g is not None and not g.is_empty:
                 for leaf in g.flatten():
@@ -104,8 +109,12 @@ class GeomBatch:
                             if len(r) >= 2:
                                 s_a.append(r[:-1]); s_b.append(r[1:])
                                 p_a.append(r[:-1]); p_b.append(r[1:])
+                                p_leaf_chunks.append(
+                                    np.full(len(r) - 1, leaf_ctr, dtype=np.int64)
+                                )
                                 ns += len(r) - 1
                                 npg += len(r) - 1
+                        leaf_ctr += 1
             v_start[i + 1] = nv
             s_start[i + 1] = ns
             p_start[i + 1] = npg
@@ -120,6 +129,10 @@ class GeomBatch:
         self.sbx = _cat(s_b, 0); self.sby = _cat(s_b, 1)
         self.pax = _cat(p_a, 0); self.pay = _cat(p_a, 1)
         self.pbx = _cat(p_b, 0); self.pby = _cat(p_b, 1)
+        self.p_leaf = (
+            np.concatenate(p_leaf_chunks) if p_leaf_chunks
+            else np.empty(0, dtype=np.int64)
+        )
         self.v_start = v_start
         self.s_start = s_start
         self.p_start = p_start
@@ -144,7 +157,8 @@ class GeomBatch:
         n = len(blobs)
         buf = np.frombuffer(b"".join(bytes(b) for b in blobs), dtype=np.uint8)
         buf = buf.reshape(n, L)
-        if not (buf[:, 0] == 1).all():
+        # every row must share endianness AND the full 4-byte type code
+        if not ((buf[:, 0] == 1).all() and (buf[:, 1:5] == buf[0, 1:5]).all()):
             return None
         gtype = int.from_bytes(bytes(first[1:5]), "little")
         out = cls.__new__(cls)
@@ -190,10 +204,12 @@ class GeomBatch:
             out.pax, out.pay = out.sax, out.say
             out.pbx, out.pby = out.sbx, out.sby
             out.p_start = out.s_start
+            out.p_leaf = np.repeat(np.arange(n, dtype=np.int64), npts - 1)
         else:
             z = np.empty(0, dtype=np.float64)
             out.pax = out.pay = out.pbx = out.pby = z
             out.p_start = np.zeros(n + 1, dtype=np.int64)
+            out.p_leaf = np.empty(0, dtype=np.int64)
         return out
 
 
@@ -201,7 +217,7 @@ class PreparedRight:
     """Build-once probe side for batch_intersects (one right geometry)."""
 
     __slots__ = ("geom", "preps", "rvx", "rvy", "rax", "ray", "rbx", "rby",
-                 "point_xy", "empty")
+                 "lnax", "lnay", "lnbx", "lnby", "point_xy", "empty")
 
     def __init__(self, g: Geom):
         self.geom = g
@@ -214,20 +230,28 @@ class PreparedRight:
         self.rvx = np.ascontiguousarray(c[:, 0]) if len(c) else np.empty(0)
         self.rvy = np.ascontiguousarray(c[:, 1]) if len(c) else np.empty(0)
         a_, b_ = [], []
+        la_, lb_ = [], []  # LINE-part segments only (see pass-1 note)
         for leaf in leaves:
             if leaf.gtype == LINESTRING and leaf.coords is not None and len(leaf.coords) >= 2:
                 a_.append(leaf.coords[:-1]); b_.append(leaf.coords[1:])
+                la_.append(leaf.coords[:-1]); lb_.append(leaf.coords[1:])
             elif leaf.gtype == POLYGON:
                 for r in leaf.rings:
                     if len(r) >= 2:
                         a_.append(r[:-1]); b_.append(r[1:])
+        z = np.empty(0, dtype=np.float64)
         if a_:
             a = np.concatenate(a_); b = np.concatenate(b_)
             self.rax = np.ascontiguousarray(a[:, 0]); self.ray = np.ascontiguousarray(a[:, 1])
             self.rbx = np.ascontiguousarray(b[:, 0]); self.rby = np.ascontiguousarray(b[:, 1])
         else:
-            z = np.empty(0, dtype=np.float64)
             self.rax = self.ray = self.rbx = self.rby = z
+        if la_:
+            a = np.concatenate(la_); b = np.concatenate(lb_)
+            self.lnax = np.ascontiguousarray(a[:, 0]); self.lnay = np.ascontiguousarray(a[:, 1])
+            self.lnbx = np.ascontiguousarray(b[:, 0]); self.lnby = np.ascontiguousarray(b[:, 1])
+        else:
+            self.lnax = self.lnay = self.lnbx = self.lnby = z
         self.point_xy = np.array(
             [l.coords[0] for l in leaves
              if l.gtype == POINT and l.coords is not None and len(l.coords)],
@@ -276,19 +300,15 @@ def batch_intersects(gb: GeomBatch, lefts: np.ndarray, right: Geom | PreparedRig
         cov = np.zeros(len(vidx), dtype=bool)
         for prep in pr.preps:
             cov |= prep.locate(lvx, lvy) != EXTERIOR
-        if len(pr.rax):
-            if not pr.preps:
-                # right is lines-only: vertex-on-right-segment
-                cov |= _on_seg_any(lvx, lvy, pr.rax, pr.ray, pr.rbx, pr.rby)
-            else:
-                # mixed right (polygon + line parts): segment-bearing lefts
-                # hit line parts via pass 3; point-only lefts need it here
-                no_seg = (gb.s_start[lefts + 1] - gb.s_start[lefts]) == 0
-                vsel = no_seg[vowner]
-                if vsel.any():
-                    cov[vsel] |= _on_seg_any(
-                        lvx[vsel], lvy[vsel], pr.rax, pr.ray, pr.rbx, pr.rby
-                    )
+        if len(pr.rax) and not pr.preps:
+            # right is lines-only: vertex-on-right-segment
+            cov |= _on_seg_any(lvx, lvy, pr.rax, pr.ray, pr.rbx, pr.rby)
+        elif len(pr.lnax):
+            # mixed right (polygon + line parts): the prepared-polygon test
+            # above missed line parts, and pass 3 only sees SEGMENT-bearing
+            # left leaves — a point leaf inside a collection contributes no
+            # segment, so every vertex must probe the right's LINE segments
+            cov |= _on_seg_any(lvx, lvy, pr.lnax, pr.lnay, pr.lnbx, pr.lnby)
         for px, py in pr.point_xy:
             cov |= (lvx == px) & (lvy == py)
         res[vowner[cov]] = True
@@ -313,7 +333,9 @@ def batch_intersects(gb: GeomBatch, lefts: np.ndarray, right: Geom | PreparedRig
                     & (qy >= np.minimum(y1, y2)) & (qy <= np.maximum(y1, y2))
                 )
             res[sub[np.unique(sowner[hit_seg])]] = True
-        # 2b. right vertex strictly inside a polygonal left (even-odd parity)
+        # 2b. right vertex strictly inside a polygonal left: even-odd parity
+        #     PER POLYGON LEAF, OR-ed across leaves — global parity over a
+        #     multi-part left would cancel on overlapping parts
         pend2 = ~res
         sub2 = np.flatnonzero(pend2)
         ls2 = lefts[sub2]
@@ -322,15 +344,22 @@ def batch_intersects(gb: GeomBatch, lefts: np.ndarray, right: Geom | PreparedRig
         if len(pidx):
             x1 = gb.pax[pidx]; y1 = gb.pay[pidx]
             x2 = gb.pbx[pidx]; y2 = gb.pby[pidx]
-            inside_any = np.zeros(len(sub2), dtype=bool)
+            # parity keyed by (owner, leaf) — a repeated left index in
+            # ``lefts`` puts the same leaf under two owners, so the leaf
+            # result propagates back through its segments per owner
+            okey = powner * np.int64(gb.p_leaf.max() + 1 if len(gb.p_leaf) else 1) \
+                + gb.p_leaf[pidx]
+            ukey, key_inv = np.unique(okey, return_inverse=True)
+            inside_any = np.zeros(len(ukey), dtype=bool)
             with np.errstate(divide="ignore", invalid="ignore"):
                 for qx, qy in zip(pr.rvx, pr.rvy):
                     straddle = (y1 > qy) != (y2 > qy)
                     xint = x1 + (qy - y1) * (x2 - x1) / (y2 - y1)
                     crossed = straddle & (qx < xint)
-                    cnt = np.bincount(powner[crossed], minlength=len(sub2))
+                    cnt = np.bincount(key_inv[crossed], minlength=len(ukey))
                     inside_any |= (cnt & 1).astype(bool)
-            res[sub2[inside_any]] = True
+            seg_inside = inside_any[key_inv]
+            res[sub2[np.unique(powner[seg_inside])]] = True
 
     # 2c. left vertex parity is covered by pass 1 (PreparedPolygon);
     #     lines/points have no interior to test.

@@ -32,8 +32,8 @@ def envelopes_of_wkb(blobs) -> np.ndarray:
     ):
         buf = np.frombuffer(b"".join(bytes(b) for b in blobs), dtype=np.uint8)
         buf = buf.reshape(n, L)
-        # all headers identical?
-        if L >= 5 and (buf[:, 0] == 1).all():
+        # all headers identical? (endianness AND the full 4-byte type code)
+        if L >= 5 and (buf[:, 0] == 1).all() and (buf[:, 1:5] == buf[0, 1:5]).all():
             gtype = int.from_bytes(bytes(first[1:5]), "little")
             if gtype == 1 and L == 21:  # POINT
                 xy = buf[:, 5:21].copy().view("<f8").reshape(n, 2)

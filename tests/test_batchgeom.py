@@ -89,6 +89,39 @@ def test_batch_intersects_touch_cases():
         assert bool(gv) == exp, (g.type_name, exp)
 
 
+def test_point_leaf_with_sibling_segments_hits_right_line_part():
+    """Regression: a POINT leaf inside a left collection that ALSO has
+    segment-bearing leaves must still probe the right's line parts (pass 3
+    only covers segment-bearing leaves)."""
+    left = multi(GEOMETRYCOLLECTION, [
+        point(5, 5),
+        linestring([(50, 50), (60, 60)]),
+    ])
+    right = multi(GEOMETRYCOLLECTION, [
+        polygon([(100, 100), (110, 100), (110, 110), (100, 110), (100, 100)]),
+        linestring([(0, 5), (10, 5)]),
+    ])
+    gb = GeomBatch.from_wkb([wkb_dumps(left)])
+    got = batch_intersects(gb, np.array([0]), right)
+    assert bool(got[0]) == evaluate_predicate("intersects", left, right) is True
+
+
+def test_overlapping_multipolygon_parity_per_leaf():
+    """Regression: even-odd parity must be evaluated per polygon LEAF —
+    global parity over an (invalid but encountered) overlapping
+    multipolygon cancels in the overlap region."""
+    from nettopologysuite_spark.kernels.geom import MULTIPOLYGON
+
+    left = multi(MULTIPOLYGON, [
+        polygon([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]),
+        polygon([(2, 2), (12, 2), (12, 12), (2, 12), (2, 2)]),
+    ])
+    right = polygon([(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)])  # in the overlap
+    gb = GeomBatch.from_wkb([wkb_dumps(left)])
+    got = batch_intersects(gb, np.array([0]), right)
+    assert bool(got[0]) == evaluate_predicate("intersects", left, right) is True
+
+
 def test_batch_intersects_mixed_right_collection():
     """Right = GC(polygon + line + point): point-only lefts must still hit
     line parts (the pass-1 on-segment branch for segment-free lefts)."""

@@ -60,3 +60,18 @@ def test_empty_and_single():
     t = STRtree(np.array([[0.0, 0.0, 1.0, 1.0]]))
     assert t.query(0.5, 0.5, 2, 2).tolist() == [0]
     assert t.nearest(5, 5, 1) == [0]
+
+
+def test_query_batch_matches_per_query():
+    """Bulk vectorized descent returns exactly the per-query hit sets."""
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 5, 37, 500, 3000):
+        envs = _random_envs(n, rng) if n else np.empty((0, 4))
+        tree = STRtree(envs)
+        boxes = _random_envs(200, rng)
+        qi, it = tree.query_batch(boxes)
+        got = {}
+        for a, b in zip(qi, it):
+            got.setdefault(int(a), set()).add(int(b))
+        for i, bx in enumerate(boxes):
+            assert got.get(i, set()) == set(tree.query(*bx).tolist()), (n, i)

@@ -70,6 +70,18 @@ def test_knn_join_table_lineage_truncated(spark):
     assert out.count() == 6
 
 
+def test_knn_join_table_empty_queries(spark):
+    from nettopologysuite_spark.engine.joins import knn_join_table
+    from nettopologysuite_spark.kernels.cells import Grid
+
+    grid = Grid(0.0, 0.0, 100.0, 100.0, level=4)
+    pdf = _mk_points(spark, [(1.0, 1.0), (2.0, 2.0)])
+    qdf = spark.createDataFrame([], "q_id long, qx double, qy double")
+    out = knn_join_table(pdf, qdf, 3, grid)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["q_id", "rank", "pid", "d2"]
+
+
 def test_within_distance_join_table_exact(spark):
     from nettopologysuite_spark.engine.joins import within_distance_join_table
     from nettopologysuite_spark.kernels.cells import Grid
