@@ -132,7 +132,7 @@ def run_scaling_probe() -> dict:
     run(200_000, SCALE_4N)  # warm-up
     best = {SCALE_N: None, SCALE_4N: None}
     rows = 0
-    for _rep in range(2):
+    for _rep in range(3):
         for parts in (SCALE_N, SCALE_4N):
             t0 = time.time()
             rows = run(N_BENCH_DOCS, parts)

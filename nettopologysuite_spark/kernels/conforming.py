@@ -54,6 +54,8 @@ def _find_split_point(p, q, enc) -> tuple[float, float]:
     qx, qy = q
     ex, ey = enc
     seg_len = math.hypot(qx - px, qy - py)
+    if seg_len == 0.0:  # degenerate constraint: nothing to split
+        return (px, py)
     mid_len = seg_len / 2.0
     # projection of the encroaching point onto the segment line
     dx, dy = qx - px, qy - py

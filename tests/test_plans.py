@@ -81,3 +81,19 @@ def test_geo_dedup_is_pure_codegen(spark, sf_dir):
 def test_media_stats_is_native(spark, sf_dir):
     plan = _plan(E.q_media_stats(spark, sf_dir))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_embed_dedup_is_native(spark, sf_dir):
+    """LSH signatures, bucket self-join, and exact cosine re-check are all
+    JVM higher-order expressions — zero Python in the plan."""
+    plan = _plan(E.q_embed_dedup(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_text_scoring_is_native_single_split(spark, sf_dir):
+    """lang_id/doc_quality: no Python, and marker counts come from ONE
+    split (array filters), not per-marker replace scans."""
+    for q in (E.q_lang_id, E.q_doc_quality):
+        plan = _plan(q(spark, sf_dir))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "replace" not in plan.lower().replace("regexp_replace", "")
