@@ -130,8 +130,14 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(d1, d2, ni, nu): exact intersection/union n-gram counts per pair."""
-    return _jaccard_counts(char_ngrams(docs, n, text_col, id_col), pairs)
+    """(d1, d2, ni, nu): exact intersection/union n-gram counts per pair.
+
+    Grams pass through NON-distinct: ``_jaccard_counts`` dedups after its
+    candidate semi-join anyway, so a pre-distinct here would pay the
+    full-corpus shuffle twice."""
+    return _jaccard_counts(
+        char_ngrams(docs, n, text_col, id_col, distinct=False), pairs
+    )
 
 
 def blocked_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
