@@ -217,6 +217,25 @@ class _Input:
                 best = BOUNDARY
         return best
 
+    def locate_areal_batch(self, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+        """EXACT location of MANY points against the areal components in
+        whole-matrix passes (same filter + rational fallback as the scalar
+        path — identical classification, paid once per batch instead of
+        once per point)."""
+        n = len(xs)
+        out = np.full(n, EXTERIOR, dtype=np.int64)
+        if not self.areas or n == 0:
+            return out
+        bnd = np.zeros(n, dtype=bool)
+        inter = np.zeros(n, dtype=bool)
+        for a in self.areas:
+            loc = _locate_exact_batch(xs, ys, a.rings)
+            inter |= loc == INTERIOR
+            bnd |= loc == BOUNDARY
+        out[bnd] = BOUNDARY
+        out[inter] = INTERIOR  # scalar path short-circuits on INTERIOR
+        return out
+
     def locate_full(self, x: float, y: float) -> int:
         """Against areas + lines + points (union semantics)."""
         loc = self.locate_areal(x, y) if self.areas else EXTERIOR
@@ -260,6 +279,64 @@ def _locate_exact(px: float, py: float, rings) -> int:
                 elif o < 0:
                     crossings += 1
     return INTERIOR if crossings % 2 == 1 else EXTERIOR
+
+
+_LOC_CHUNK = 1 << 21  # bound (points × segments) matrix memory
+
+
+def _locate_exact_batch(xs: np.ndarray, ys: np.ndarray, rings) -> np.ndarray:
+    """Batched ``_locate_exact``: all query points against all ring
+    segments in chunked matrix passes, using the SAME Shewchuk-style filter
+    ``orient_index`` applies internally (identical constant, identical
+    formula) — certain signs take the float value, filtered-ambiguous
+    pairs fall back to the exact rational path. Classification is
+    bit-identical to the scalar loop."""
+    from .orientation import _CCW_ERR, orient_index
+
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    nq = len(xs)
+    segs = [r for r in rings if len(r) >= 2]
+    if not segs or nq == 0:
+        return np.full(nq, EXTERIOR, dtype=np.int64)
+    x1 = np.concatenate([r[:-1, 0] for r in segs])
+    y1 = np.concatenate([r[:-1, 1] for r in segs])
+    x2 = np.concatenate([r[1:, 0] for r in segs])
+    y2 = np.concatenate([r[1:, 1] for r in segs])
+    ns = len(x1)
+    mnx = np.minimum(x1, x2); mxx = np.maximum(x1, x2)
+    mny = np.minimum(y1, y2); mxy = np.maximum(y1, y2)
+    rising = y2 > y1
+    out = np.full(nq, EXTERIOR, dtype=np.int64)
+    step = max(1, _LOC_CHUNK // max(ns, 1))
+    for s in range(0, nq, step):
+        qx = xs[s:s + step][:, None]
+        qy = ys[s:s + step][:, None]
+        detl = (x1[None, :] - qx) * (y2[None, :] - qy)
+        detr = (y1[None, :] - qy) * (x2[None, :] - qx)
+        det = detl - detr
+        detsum = np.abs(detl) + np.abs(detr)
+        certain = (np.abs(det) > _CCW_ERR * detsum) | (detsum == 0.0)
+        bbox = (
+            (mnx[None, :] <= qx) & (qx <= mxx[None, :])
+            & (mny[None, :] <= qy) & (qy <= mxy[None, :])
+        )
+        straddle = (y1[None, :] > qy) != (y2[None, :] > qy)
+        sign = np.sign(det).astype(np.int8)
+        need = (~certain) & (bbox | straddle)
+        for i, j in zip(*np.nonzero(need)):
+            sign[i, j] = orient_index(
+                float(x1[j]), float(y1[j]), float(x2[j]), float(y2[j]),
+                float(qx[i, 0]), float(qy[i, 0])
+            )
+        boundary = (bbox & (sign == 0)).any(axis=1)
+        up = straddle & rising[None, :] & (sign > 0)
+        dn = straddle & ~rising[None, :] & (sign < 0)
+        crossings = (up | dn).sum(axis=1)
+        chunk_out = np.where(crossings % 2 == 1, INTERIOR, EXTERIOR)
+        chunk_out = np.where(boundary, BOUNDARY, chunk_out)
+        out[s:s + step] = chunk_out
+    return out
 
 
 def _on_polyline(x, y, ln) -> bool:
@@ -515,14 +592,32 @@ def _collect_edges(a: _Input, b: _Input):
                 e.b_dir = fwd if e.b_dir == 0 else (2 if e.b_dir != fwd else e.b_dir)
             else:
                 e.b_line = True
-    # classify midpoints against the OTHER side's areas
-    for e in emap.values():
-        mx = (e.u[0] + e.v[0]) * 0.5
-        my = (e.u[1] + e.v[1]) * 0.5
+    # classify midpoints against the OTHER side's areas — batched: ALL
+    # midpoints needing a side locate in one matrix pass per side
+    edges = list(emap.values())
+    mx = np.array([(e.u[0] + e.v[0]) * 0.5 for e in edges])
+    my = np.array([(e.u[1] + e.v[1]) * 0.5 for e in edges])
+    need_b: list[int] = []
+    need_a: list[int] = []
+    for i, e in enumerate(edges):
         if e.a_dir or e.a_line:
-            e.loc_b = BOUNDARY if e.b_dir else b.locate_areal(mx, my)
+            if e.b_dir:
+                e.loc_b = BOUNDARY
+            else:
+                need_b.append(i)
         if e.b_dir or e.b_line:
-            e.loc_a = BOUNDARY if e.a_dir else a.locate_areal(mx, my)
+            if e.a_dir:
+                e.loc_a = BOUNDARY
+            else:
+                need_a.append(i)
+    if need_b:
+        locs = b.locate_areal_batch(mx[need_b], my[need_b])
+        for i, loc in zip(need_b, locs):
+            edges[i].loc_b = int(loc)
+    if need_a:
+        locs = a.locate_areal_batch(mx[need_a], my[need_a])
+        for i, loc in zip(need_a, locs):
+            edges[i].loc_a = int(loc)
     return emap, raw, node_points
 
 
