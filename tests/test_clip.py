@@ -62,6 +62,39 @@ def test_clip_ring_basics():
     assert out[:, 1].min() == 0.0 and out[:, 1].max() == 10.0
 
 
+def test_clipped_overlay_adversarial_cases():
+    """Shared linework, hole-crossing and far-multipart cases — the shapes
+    most likely to expose a clip-envelope bug — must stay identical to the
+    unclipped pipeline."""
+    from nettopologysuite_spark.kernels.geom import MULTIPOLYGON, multi, polygon
+    from nettopologysuite_spark.kernels.shapes import circle
+
+    rng = np.random.default_rng(17)
+    a = sine_star(50, 50, 80, 200, 6, 0.3)
+    averts = a.rings[0]
+    cases = []
+    for t in range(4):  # B snapped to A's own vertices (shared linework)
+        i = int(rng.integers(0, len(averts) - 4))
+        quad = np.array([averts[i], averts[i + 1], averts[i + 2],
+                         averts[i + 2] + [5, 5], averts[i]])
+        cases.append((a, polygon(quad)))
+    mp = multi(MULTIPOLYGON, [circle(20, 20, 30, 60), circle(500, 500, 30, 60)])
+    for t in range(3):  # far multipart A: clipping drops whole parts
+        cx, cy = rng.uniform(0, 60, 2)
+        cases.append((mp, circle(cx, cy, 14, 24)))
+    shell = circle(50, 50, 80, 120).rings[0]
+    hole = circle(50, 50, 30, 60).rings[0][::-1]
+    ah = polygon(shell, [hole])
+    for t in range(3):  # A with hole; B inside / across the hole boundary
+        cx, cy = rng.uniform(25, 75, 2)
+        cases.append((ah, circle(cx, cy, 12, 20)))
+    for ga, gb in cases:
+        for op in (INTERSECTION, DIFFERENCE):
+            got = overlay(ga, gb, op)
+            exp = _overlay_unclipped(ga, gb, op)
+            assert equals_normalized(got, exp)
+
+
 def test_difference_with_far_b_unaffected():
     """B entirely outside A's envelope: difference(A, B) == A."""
     a = sine_star(10, 10, 10, 64, 6, 0.3)
