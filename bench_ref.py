@@ -35,7 +35,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from nettopologysuite_spark.kernels.overlay import INTERSECTION, overlay  # noqa: E402
-from nettopologysuite_spark.kernels.pip import PreparedPolygon  # noqa: E402
+from nettopologysuite_spark.kernels.pip import EXTERIOR, PreparedPolygon  # noqa: E402
 from nettopologysuite_spark.kernels.shapes import circle, sine_star  # noqa: E402
 from nettopologysuite_spark.kernels.strtree import STRtree  # noqa: E402
 
@@ -53,7 +53,7 @@ def pip_probe(n_pts: int = 100_000, iters: int = 10) -> dict:
         t0 = time.time()
         loc = prep.locate(px, py)
         best = min(best, time.time() - t0)
-        inside = int((loc != 2).sum())
+        inside = int((loc != EXTERIOR).sum())  # interior + boundary
     return {
         "points": n_pts, "inside": inside,
         "best_sec": round(best, 4),
@@ -130,7 +130,7 @@ def main():
             "## PIP probe (IndexedPointInAreaPerfTest.cs:16-35)\n\n"
             f"100-pt circle size 100, {p['points']:,} random points: "
             f"**{p['points_per_sec']:,} points/sec** "
-            f"(best of 10, {p['best_sec']}s; {p['inside']:,} interior — the\n"
+            f"(best of 10, {p['best_sec']}s; {p['inside']:,} covered — the\n"
             "whole batch probes one prepared polygon, so this is the\n"
             "per-executor kernel throughput of the PIP join refine).\n\n"
             "## STRtree build + query (STRtreePerfTest / TreeTimeTest shape)\n\n"

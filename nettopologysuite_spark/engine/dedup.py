@@ -157,7 +157,7 @@ def blocked_pairs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     threshold_pct: int = 80,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -167,14 +167,19 @@ def minhash_lsh_pairs(
 
     Returns (d1, d2, ni, nu) for pairs with jaccard = ni/nu ≥ pct/100,
     compared in exact integer arithmetic (ni*100 >= nu*pct) so any SQL
-    engine reproduces the same set bit-for-bit. Banding is b=16/r=4:
-    threshold (1/b)^(1/r) = 0.5, so false candidates from the heavy
-    j ≈ 0.05 mass of real corpora stay rare (r=2 bands admitted 16% of ALL
-    pairs on the synthetic corpus — the verify join, not the signatures,
-    became the cost), while the miss probability at j=0.8 is
-    (1-0.8⁴)^16 ≈ 3e-4 and the gate data's minimum qualifying jaccard
-    (0.818) verifies green deterministically (hashes are fixed).
+    engine reproduces the same set bit-for-bit.
+
+    ``bands`` defaults from the threshold: high thresholds use b=16/r=4
+    (S-curve knee at (1/b)^(1/r) = 0.5 — 2-row bands admitted 16% of ALL
+    pairs on the synthetic corpus from its heavy j ≈ 0.05 mass, making the
+    verify join the cost; miss at j=0.8 is (1-0.8⁴)^16 ≈ 3e-4, and the
+    gate data's minimum qualifying jaccard 0.818 verifies green
+    deterministically). Lower thresholds fall back to b=32/r=2, whose miss
+    at j=0.6 is (1-0.36)^32 ≈ 6e-7 — r=4 there would silently drop ~11%
+    of threshold-grazing pairs.
     """
+    if bands is None:
+        bands = 16 if threshold_pct >= 75 else 32
     # signatures are duplicate-insensitive → skip the full-corpus distinct;
     # the exact verify below deduplicates candidate grams only. Persisted:
     # the signature pass and the verify both shingle from this frame.

@@ -46,10 +46,9 @@ def _rings_of(g: Geom):
 
 
 def _is_polygonal(g: Geom) -> bool:
+    # flatten() yields only POINT/LINESTRING/POLYGON leaves
     leaves = g.flatten()
-    return bool(leaves) and all(
-        l.gtype in (POLYGON, MULTIPOLYGON) for l in leaves
-    )
+    return bool(leaves) and all(l.gtype == POLYGON for l in leaves)
 
 
 def robust_clip_envelope(ga: Geom, gb: Geom, target) -> tuple:
@@ -168,17 +167,28 @@ def _env_covers(outer, inner) -> bool:
             and outer[2] >= inner[2] and outer[3] >= inner[3])
 
 
+def _n_vertices(g: Geom) -> int:
+    return sum(len(r) for r in _rings_of(g))
+
+
 def maybe_clip_inputs(ga: Geom, gb: Geom, op: str,
                       min_vertices: int = 16) -> tuple[Geom, Geom]:
-    """Clip whichever inputs benefit; identity when clipping cannot help."""
+    """Clip whichever inputs benefit; identity when clipping cannot help.
+
+    The cheap size check runs BEFORE the O(n) robust-envelope scan so the
+    common small-geometry case (every per-pair corpus/UDF overlay) pays
+    nearly nothing."""
+    na, nb = _n_vertices(ga), _n_vertices(gb)
+    if max(na, nb) <= min_vertices:
+        return ga, gb
     if not (_is_polygonal(ga) and _is_polygonal(gb)):
         return ga, gb
     env = clipping_envelope(ga, gb, op)
     if env is None:
         return ga, gb
     out = []
-    for g in (ga, gb):
-        if len(g.all_coords()) > min_vertices and not _env_covers(env, g.envelope()):
+    for g, n in ((ga, na), (gb, nb)):
+        if n > min_vertices and not _env_covers(env, g.envelope()):
             out.append(clip_polygonal(g, env))
         else:
             out.append(g)
