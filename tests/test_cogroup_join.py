@@ -91,6 +91,51 @@ def test_cogroup_join_mixed_types_exact_relate(spark):
     assert ("pg-far", "sq-b") in got
 
 
+def test_bigbig_join_shuffle_path_exact(spark):
+    """Both sides genuinely large (neither broadcastable as a driver pack):
+    1,500 rects × 1,200 rects — result must equal the numpy brute force.
+    Exercises the shuffled-hash candidate join + vectorized refine end to
+    end with a non-trivial right side."""
+    import numpy as np
+
+    from nettopologysuite_spark.engine.joins import spatial_join_bigbig
+    from nettopologysuite_spark.kernels.cells import Grid
+    from nettopologysuite_spark.kernels.geom import polygon, wkb_dumps
+
+    rng = np.random.default_rng(23)
+    grid = Grid(0.0, 0.0, 100.0, 100.0, level=5)
+
+    def mk(n, seed_shift):
+        c = rng.uniform(2, 98, (n, 2))
+        w = rng.uniform(0.2, 1.5, (n, 2))
+        rows = []
+        for i in range(n):
+            x0, y0 = c[i] - w[i]
+            x1, y1 = c[i] + w[i]
+            rows.append((i + seed_shift, wkb_dumps(polygon(
+                [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]))))
+        return rows, np.column_stack([c - w, c + w])
+
+    lrows, lenv = mk(1500, 0)
+    rrows, renv = mk(1200, 100000)
+    ldf = spark.createDataFrame(lrows, "l_id long, l_wkb binary")
+    rdf = spark.createDataFrame(rrows, "r_id long, r_wkb binary")
+    out = spatial_join_bigbig(ldf, rdf, grid, "intersects")
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    # exactly-once per pair
+    assert len(got) == out.count()
+    # brute force: axis-aligned rect intersects ⟺ envelope overlap
+    ov = (
+        (lenv[:, 0][:, None] <= renv[:, 2][None, :])
+        & (lenv[:, 2][:, None] >= renv[:, 0][None, :])
+        & (lenv[:, 1][:, None] <= renv[:, 3][None, :])
+        & (lenv[:, 3][:, None] >= renv[:, 1][None, :])
+    )
+    li, rj = np.nonzero(ov)
+    expect = {(int(i), int(j) + 100000) for i, j in zip(li, rj)}
+    assert got == expect
+
+
 def test_strtree_nearest_item_dist_callback():
     """item_dist returns SQUARED exact distance; branch-and-bound must return
     true nearest even when envelope order differs from exact order."""
