@@ -26,7 +26,9 @@ from ..kernels.hull import convex_hull as k_hull
 from ..kernels.overlay import overlay as k_overlay
 from ..kernels.relate import relate as k_relate, relate_predicate
 from ..kernels.simple import is_simple as k_is_simple
+from ..kernels.clearance import minimum_clearance_line as k_min_clearance_line
 from ..kernels.fixer import fix as k_fix
+from ..kernels.normalize import normalize as k_normalize
 from ..kernels.valid import is_valid as k_is_valid
 
 
@@ -409,6 +411,97 @@ def build_registry() -> dict:
             ]
         )
 
+    @pandas_udf("double")
+    def st_minimum_clearance(wkb: pd.Series) -> pd.Series:
+        from ..kernels.clearance import minimum_clearance
+
+        out = []
+        for g in _geoms(wkb):
+            if g is None:
+                out.append(None)
+            else:
+                d, _pair = minimum_clearance(g)
+                out.append(float(d))
+        return pd.Series(out)
+
+    @pandas_udf("binary")
+    def st_polygonize(wkb: pd.Series) -> pd.Series:
+        """Polygons formed by the input linework (Operation/Polygonize)."""
+        from ..kernels.geom import GEOMETRYCOLLECTION, multi
+        from ..kernels.polygonize import polygonize
+
+        return pd.Series(
+            [
+                None if g is None
+                else wkb_dumps(multi(GEOMETRYCOLLECTION, polygonize(g)))
+                for g in _geoms(wkb)
+            ]
+        )
+
+    @pandas_udf("binary")
+    def st_point_on_surface(wkb: pd.Series) -> pd.Series:
+        """A point guaranteed on the geometry (InteriorPoint algorithms)."""
+        import numpy as np
+
+        from ..kernels.geom import POINT, Geom, point
+        from ..kernels.interior_point import interior_point
+
+        out = []
+        for g in _geoms(wkb):
+            if g is None:
+                out.append(None)
+                continue
+            ip = interior_point(g)
+            out.append(wkb_dumps(
+                point(ip[0], ip[1]) if ip is not None
+                else Geom(POINT, coords=np.empty((0, 2)))
+            ))
+        return pd.Series(out)
+
+    @pandas_udf("binary")
+    def st_envelope(wkb: pd.Series) -> pd.Series:
+        """Envelope as geometry: point / line / rectangle per degeneracy
+        (Geometry.GetEnvelope semantics)."""
+        import numpy as np
+
+        from ..kernels.geom import LINESTRING, POINT, Geom, point, polygon
+
+        out = []
+        for g in _geoms(wkb):
+            if g is None:
+                out.append(None)
+                continue
+            if g.is_empty:
+                out.append(wkb_dumps(Geom(POINT, coords=np.empty((0, 2)))))
+                continue
+            minx, miny, maxx, maxy = g.envelope()
+            if minx == maxx and miny == maxy:
+                env_g = point(minx, miny)
+            elif minx == maxx or miny == maxy:
+                env_g = Geom(LINESTRING, coords=np.array(
+                    [[minx, miny], [maxx, maxy]]))
+            else:
+                env_g = polygon([(minx, miny), (maxx, miny), (maxx, maxy),
+                                 (minx, maxy), (minx, miny)])
+            out.append(wkb_dumps(env_g))
+        return pd.Series(out)
+
+    def _reverse(g):
+        from ..kernels.geom import LINESTRING, POINT, POLYGON, Geom
+
+        if g.gtype in (POINT, LINESTRING):
+            c = g.coords[::-1].copy() if g.coords is not None else g.coords
+            return Geom(g.gtype, coords=c)
+        if g.gtype == POLYGON:
+            return Geom(POLYGON, rings=[r[::-1].copy() for r in g.rings])
+        return Geom(g.gtype, parts=[_reverse(p) for p in g.parts])
+
+    @pandas_udf("int")
+    def st_npoints(wkb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if g is None else int(len(g.all_coords())) for g in _geoms(wkb)]
+        )
+
     @pandas_udf("binary")
     def st_concave_hull_of_polygons(wkb: pd.Series, ratio: pd.Series) -> pd.Series:
         """Concave hull of a polygonal input, respecting the polygons as
@@ -484,6 +577,14 @@ def build_registry() -> dict:
         "ST_ConcaveHull": st_concave_hull,
         "ST_ConcaveHullOfPolygons": st_concave_hull_of_polygons,
         "ST_ConformingDelaunayEdges": st_conforming_delaunay_edges,
+        "ST_MinimumClearance": st_minimum_clearance,
+        "ST_MinimumClearanceLine": _unary_geom(k_min_clearance_line),
+        "ST_Polygonize": st_polygonize,
+        "ST_PointOnSurface": st_point_on_surface,
+        "ST_Envelope": st_envelope,
+        "ST_Normalize": _unary_geom(k_normalize),
+        "ST_Reverse": _unary_geom(_reverse),
+        "ST_NPoints": st_npoints,
         "ST_MinimumDiameter": st_minimum_diameter,
         "ST_MinimumRectangle": st_minimum_rectangle,
         "ST_DelaunayTriangles": st_delaunay,

@@ -3,6 +3,7 @@
 import sys
 from pathlib import Path
 
+
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
@@ -39,3 +40,34 @@ def test_st_functions_sql(spark):
     assert row["d"] == 3.0
     # buffer area ≈ 100 + 4*(10*2) + π*4 (inscribed arcs slightly less)
     assert 190 < row["ba"] < 193
+
+
+def test_st_utility_functions(spark):
+    """Clearance / polygonize / point-on-surface / envelope / normalize /
+    reverse / npoints surface."""
+    from nettopologysuite_spark.functions.st_funcs import register_all
+
+    register_all(spark)
+    row = spark.sql(
+        """
+        SELECT ST_MinimumClearance(g) AS mc,
+               ST_AsText(ST_MinimumClearanceLine(g)) AS mcl,
+               ST_AsText(ST_PointOnSurface(g)) AS pos,
+               ST_AsText(ST_Envelope(g)) AS env,
+               ST_AsText(ST_Envelope(ST_GeomFromText('POINT (3 4)'))) AS envp,
+               ST_NPoints(g) AS np,
+               ST_AsText(ST_Normalize(ST_Reverse(g))) AS norm,
+               ST_AsText(ST_Polygonize(ST_GeomFromText(
+                 'MULTILINESTRING ((0 0, 4 0), (4 0, 4 4), (4 4, 0 4), (0 4, 0 0))'
+               ))) AS pz
+        FROM (SELECT ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') AS g)
+        """
+    ).collect()[0]
+    assert row["mc"] == 10.0
+    assert row["mcl"] == "LINESTRING (0 0, 10 0)"
+    assert row["pos"] == "POINT (5 5)"
+    assert row["env"] == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert row["envp"] == "POINT (3 4)"
+    assert row["np"] == 5
+    assert row["norm"] == "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))"
+    assert row["pz"] == "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))"
