@@ -505,6 +505,64 @@ def q_hull_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-derived 1-D intervals: lo = LCG x, len = (1 + id%7)/16 — every
+    endpoint an exact dyadic double (≤27 significand bits + 4 fraction
+    bits), so Spark and DuckDB agree bit-for-bit."""
+    pts = _event_points(spark, sf_dir)
+    return pts.select(
+        F.col("pid").alias("e_id"),
+        F.col("x").alias("e_lo"),
+        (F.col("x") + (F.lit(1) + F.col("pid") % 7).cast("double") / F.lit(16)
+         ).alias("e_hi"),
+    )
+
+
+def _supplier_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
+        "supplier"
+    )
+    sup = spark.sql(points_sql("supplier", "s_suppkey", "s_id"))
+    return sup.select(
+        "s_id",
+        F.col("x").alias("s_lo"),
+        (F.col("x") + (F.lit(1) + F.col("s_id") % 5).cast("double") / F.lit(16)
+         ).alias("s_hi"),
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D interval join (events × suppliers) — the distributed form of the
+    reference's interval stabbing (SortedPackedIntervalRTree/Bintree; SURVEY
+    §2.8's interval-join analog): native bin cover explode + bin equi-join +
+    reference-bin dedup + codegen overlap refine. Zero Python."""
+    from nettopologysuite_spark.engine.interval import interval_join
+
+    li = _event_intervals(spark, sf_dir)
+    ri = _supplier_intervals(spark, sf_dir)
+    out = interval_join(
+        li, ri, 0.0, 104.0, nbins=64,
+        l_lo="e_lo", l_hi="e_hi", r_lo="s_lo", r_hi="s_hi",
+    )
+    return out.select("e_id", "s_id", F.col("overlap").alias("ov"))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each query (an event sampled by id%7==3, shifted back
+    one minute) find its user's latest earlier-or-equal event — union +
+    single keyed window pass with a running last(ignorenulls). One shuffle,
+    zero Python (SURVEY §2.8's as-of analog)."""
+    from nettopologysuite_spark.engine.interval import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    queries = events.filter(F.col("event_id") % 7 == 3).select(
+        F.col("event_id").alias("q_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 MINUTE")).alias("q_ts"),
+    )
+    return asof_join(events, queries)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (md5-60-bit gram hash → DuckDB-reproducible)."""
     from nettopologysuite_spark.engine.dedup import simhash_fingerprints
@@ -552,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "hull_agg": q_hull_agg,
         "simhash": q_simhash,
+        "interval_join": q_interval_join,
+        "asof_join": q_asof_join,
     }
 
 
@@ -698,6 +758,47 @@ def _mixed_join_oracle() -> str:
     )
 
 
+def _interval_join_oracle() -> str:
+    """Brute-force closed-interval range join on the same dyadic-exact
+    derived endpoints (mirrors q_interval_join)."""
+    xe = derive.point_exprs_sql("event_id")[0]
+    xs = derive.point_exprs_sql("s_suppkey")[0]
+    return (
+        f"WITH li AS (SELECT event_id AS e_id, {xe} AS lo, "
+        f"({xe}) + CAST(1 + event_id % 7 AS DOUBLE) / 16 AS hi FROM events), "
+        f"ri AS (SELECT s_suppkey AS s_id, {xs} AS lo, "
+        f"({xs}) + CAST(1 + s_suppkey % 5 AS DOUBLE) / 16 AS hi FROM supplier) "
+        f"SELECT l.e_id, r.s_id, "
+        f"LEAST(l.hi, r.hi) - GREATEST(l.lo, r.lo) AS ov "
+        f"FROM li l JOIN ri r ON l.lo <= r.hi AND l.hi >= r.lo"
+    )
+
+
+def _asof_join_oracle() -> str:
+    """The same union+running-last window construction as engine
+    ``asof_join``, in DuckDB SQL (LAST_VALUE ... IGNORE NULLS). Offsets
+    between the engines' epoch conventions cancel in ``lag_us``."""
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY t, is_q, COALESCE(eid, qid) "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        "WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_id AS eid "
+        "FROM events), "
+        "q AS (SELECT user_id, epoch_us(ts - INTERVAL 1 MINUTE) AS t, "
+        "event_id AS qid FROM events WHERE event_id % 7 = 3), "
+        "u AS (SELECT user_id, t, 0 AS is_q, eid, CAST(NULL AS BIGINT) AS qid "
+        "FROM ev UNION ALL "
+        "SELECT user_id, t, 1, CAST(NULL AS BIGINT), qid FROM q), "
+        f"m AS (SELECT user_id, t, is_q, qid, "
+        f"LAST_VALUE(eid IGNORE NULLS) {over} AS m_eid, "
+        f"LAST_VALUE(CASE WHEN is_q = 0 THEN t END IGNORE NULLS) {over} AS m_t "
+        "FROM u) "
+        "SELECT qid AS q_id, user_id, COALESCE(m_eid, -1) AS evt_id, "
+        "COALESCE(t - m_t, -1) AS lag_us FROM m WHERE is_q = 1"
+    )
+
+
 def _ann_oracle() -> str:
     from nettopologysuite_spark.engine.ann import ann_lsh_oracle_sql
 
@@ -837,6 +938,8 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes s2 ON s2.doc_id = i.d2 "
             "WHERE i.ni * 100 >= (s1.n + s2.n - i.ni) * 80"
         ),
+        "interval_join": _interval_join_oracle(),
+        "asof_join": _asof_join_oracle(),
         "embed_dedup": _embed_dedup_oracle(),
         "lang_id": _lang_id_oracle(),
         "doc_quality": _doc_quality_oracle(),
