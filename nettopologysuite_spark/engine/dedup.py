@@ -240,11 +240,20 @@ def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = 60,
 
     Set-based SimHash (votes over DISTINCT grams): the distinct shuffle
     runs on raw gram strings BEFORE the md5 pass, which measured faster
-    than the multiset variant (md5 dominates; fewer rows reach it)."""
+    than the multiset variant (md5 dominates; fewer rows reach it).
+
+    md5 is computed once per DISTINCT GRAM and broadcast-joined back: the
+    character n-gram vocabulary is bounded (|charset|^n — a few hundred
+    here, ≤ ~1M for any real corpus), its ``distinct`` collapses map-side
+    to that bound, and the per-(doc,gram) md5 work drops by the corpus's
+    gram-repetition factor (~1,900× here; wall-neutral at sandbox scale —
+    the vote aggregate dominates — but removes the per-row string-hash
+    term that grows with document count at 100 TB)."""
     grams = char_ngrams(docs, n, text_col, id_col)
-    h = grams.withColumn(
+    gram_hashes = grams.select("gram").distinct().withColumn(
         "gh", F.expr("CAST(CONV(SUBSTRING(md5(gram), 1, 15), 16, 10) AS BIGINT)")
     )
+    h = grams.join(F.broadcast(gram_hashes), "gram")
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("gh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

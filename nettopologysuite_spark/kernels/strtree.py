@@ -31,8 +31,8 @@ class STRtree:
         self.children: list[np.ndarray] = []  # per level: (m, 2) child [start, end)
         if n == 0:
             return
-        # leaf ordering: STR packing of items
-        self.item_order = self._str_order(self.envs)
+        # leaf ordering: STR packing of items (Hilbert in the HPRtree subclass)
+        self.item_order = self._pack_order(self.envs)
         cur = self.envs[self.item_order]
         while True:
             m = len(cur)
@@ -48,9 +48,9 @@ class STRtree:
                 node_env[gi, 3] = cur[lo:hi, 3].max()
                 node_child[gi] = (lo, hi)
             if groups > 1:
-                # store this level in ITS OWN STR order so the level above
+                # store this level in ITS OWN pack order so the level above
                 # groups contiguous runs; child ranges ride along as payload
-                perm = self._str_order(node_env)
+                perm = self._pack_order(node_env)
                 node_env = node_env[perm]
                 node_child = node_child[perm]
             self.levels.append(node_env)
@@ -144,6 +144,9 @@ class STRtree:
         )
         return q[hit], idx[hit]
 
+    def _pack_order(self, envs: np.ndarray) -> np.ndarray:
+        return self._str_order(envs)
+
     @staticmethod
     def _env_dist2(e: np.ndarray, x: float, y: float) -> float:
         dx = max(e[0] - x, 0.0, x - e[2])
@@ -193,3 +196,27 @@ class STRtree:
                         heap, (self._env_dist2(child_env[c], x, y), tie, lvl - 1, c)
                     )
         return [i for _d, i in best]
+
+
+class HPRtree(STRtree):
+    """Hilbert-packed static R-tree (Index/HPRtree/HPRtree.cs:1-437
+    semantics): identical query/kNN machinery to the packed STRtree, with
+    the packing order replaced by the Hilbert code of each envelope center
+    over the level's own extent (HilbertEncoder.cs:7-27 quantizes centers
+    to a 2^level grid of the total bounds). Space-filling packing gives
+    slightly better leaf locality for clustered data and makes the build a
+    single O(n log n) sort — no slice passes."""
+
+    HILBERT_LEVEL = 12  # 2^12 × 2^12 quantization grid (HilbertEncoder: 16)
+
+    def _pack_order(self, envs: np.ndarray) -> np.ndarray:
+        from .cells import hilbert_encode
+
+        cx = (envs[:, 0] + envs[:, 2]) * 0.5
+        cy = (envs[:, 1] + envs[:, 3]) * 0.5
+        n = 1 << self.HILBERT_LEVEL
+        spanx = max(cx.max() - cx.min(), 1e-300)
+        spany = max(cy.max() - cy.min(), 1e-300)
+        ix = np.minimum(((cx - cx.min()) / spanx * n).astype(np.int64), n - 1)
+        iy = np.minimum(((cy - cy.min()) / spany * n).astype(np.int64), n - 1)
+        return np.argsort(hilbert_encode(ix, iy, self.HILBERT_LEVEL), kind="stable")

@@ -75,3 +75,36 @@ def test_query_batch_matches_per_query():
             got.setdefault(int(a), set()).add(int(b))
         for i, bx in enumerate(boxes):
             assert got.get(i, set()) == set(tree.query(*bx).tolist()), (n, i)
+
+
+def test_hprtree_matches_strtree():
+    """Hilbert packing changes only layout: every query/batch/kNN result
+    must equal the STRtree's (Index/HPRtree/HPRtree.cs parity)."""
+    from nettopologysuite_spark.kernels.strtree import HPRtree
+
+    rng = np.random.default_rng(11)
+    for n in (1, 7, 64, 900):
+        envs = _random_envs(n, rng)
+        a, b = STRtree(envs), HPRtree(envs)
+        boxes = _random_envs(100, rng)
+        for bx in boxes[:20]:
+            assert set(a.query(*bx).tolist()) == set(b.query(*bx).tolist())
+        qa, ia = a.query_batch(boxes)
+        qb, ib = b.query_batch(boxes)
+        assert set(zip(qa.tolist(), ia.tolist())) == set(zip(qb.tolist(), ib.tolist()))
+        for x, y in rng.uniform(0, 100, size=(10, 2)):
+            ka = a.nearest(float(x), float(y), 3)
+            kb = b.nearest(float(x), float(y), 3)
+            # envelope distances may tie; compare the distance sequences
+            da = [a._env_dist2(envs[i], x, y) for i in ka]
+            db = [b._env_dist2(envs[i], x, y) for i in kb]
+            assert da == db
+
+
+def test_hprtree_degenerate_centers():
+    from nettopologysuite_spark.kernels.strtree import HPRtree
+
+    envs = np.tile(np.array([[2.0, 3.0, 4.0, 5.0]]), (25, 1))
+    t = HPRtree(envs)
+    assert set(t.query(3, 4, 3.5, 4.5).tolist()) == set(range(25))
+    assert t.query(10, 10, 11, 11).size == 0
