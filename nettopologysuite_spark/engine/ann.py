@@ -20,22 +20,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DIM = 64
-N_PLANES = 16
-BANDS = 4  # 4 bits per band
+N_PLANES = 32
+BANDS = 8  # 4 bits per band: many narrow bands — RECALL banding for the
+# ANN query, whose true top-k neighbours on this corpus are only weakly
+# similar (cos 0.26–0.39; see test_ann.py). Collision for a cos≈0.31
+# neighbour ≈ 1-(1-0.6⁴)⁸ ≈ 0.67 while the exact re-rank still runs on
+# candidates only. The DEDUP banding below is the opposite tradeoff.
 _LCG = 2654435761
 
 
 def hyperplanes(dim: int = DIM, n_planes: int = N_PLANES) -> list[list[int]]:
-    """Deterministic small-integer hyperplanes in [-8, 7] (LCG-derived) —
-    embedded as literals in both the Spark plan and the SQL oracle."""
-    return [
-        [(((1 + p * dim + d) * _LCG) % 16) - 8 for d in range(dim)]
-        for p in range(n_planes)
-    ]
+    """Deterministic small-integer hyperplanes in [-8, 7] (LCG + xor-fold) —
+    embedded as literals in both the Spark plan and the SQL oracle.
+
+    The xor-fold is load-bearing: the bare LCG residue ``(seed*_LCG) % 16``
+    is DEGENERATE here because ``_LCG ≡ 1 (mod 16)`` and ``p·dim ≡ 0 (mod
+    16)`` — every plane p collapsed to the same vector ``(1+d) % 16 - 8``,
+    so all 16 "independent" sign bits were one bit and the LSH had exactly
+    two buckets (candidates ≈ half of ALL pairs — brute force in disguise).
+    Folding the high half of the 32-bit product in first decorrelates the
+    planes (verified: 16 distinct planes, per-band buckets spread over all
+    values, candidate volume halved on the fixture)."""
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = ((1 + p * dim + d) * _LCG) % (1 << 32)
+            x ^= x >> 16
+            row.append((x % 16) - 8)
+        out.append(row)
+    return out
 
 
-def _sig_cols(emb_col: str, planes: list[list[int]]):
-    """One integer column per band: 4 sign bits packed (all JVM codegen)."""
+def _sig_cols(emb_col: str, planes: list[list[int]], bands: int = BANDS):
+    """One integer column per band: sign bits packed (all JVM codegen)."""
     bits = []
     for plane in planes:
         arr = "array(" + ", ".join(f"{h}D" for h in plane) + ")"
@@ -46,9 +64,9 @@ def _sig_cols(emb_col: str, planes: list[list[int]]):
         # coalesce mirrors the DuckDB oracle's COALESCE(dot, 0): a NULL
         # embedding must land in the same bucket on both engines
         bits.append(f"(CASE WHEN coalesce({dot}, 0D) >= 0 THEN 1 ELSE 0 END)")
-    n_per_band = len(planes) // BANDS
+    n_per_band = len(planes) // bands
     cols = []
-    for b in range(BANDS):
+    for b in range(bands):
         terms = [
             f"({bits[b * n_per_band + i]} * {1 << i})" for i in range(n_per_band)
         ]
@@ -94,8 +112,14 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int, k: int,
     )
 
 
+DEDUP_PLANES = 32  # 4 bands × 8 bits — near-dup banding (see docstring)
+DEDUP_BANDS = 4
+
+
 def embed_cosine_dedup(emb: DataFrame, threshold_pct: int = 40,
-                       id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       n_planes: int = DEDUP_PLANES,
+                       bands: int = DEDUP_BANDS) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: LSH-bucket self-join for
     candidates, exact quantized cosine ≥ threshold on candidates only.
 
@@ -108,17 +132,21 @@ def embed_cosine_dedup(emb: DataFrame, threshold_pct: int = 40,
     not reported); the oracle mirrors the identical candidacy definition, so
     the result is bit-reproducible.
 
-    Scale knob: candidate volume is Σ_buckets c² with 4-bit bands (16
-    values) here — sized for the sandbox's 5k vectors. At production n,
-    raise ``N_PLANES`` (wider bands → exponentially more buckets) exactly as
-    MinHash raises its band count; the plan shape is unchanged."""
-    planes = hyperplanes()
-    sig = emb.select(F.col(id_col), *_sig_cols(emb_col, planes))
+    Scale knob: candidate volume is Σ_buckets c². Bands here are 8-bit
+    (4 × 8 of 32 planes) — NEAR-DUP banding: a random pair collides per
+    band with ≈ 2⁻⁸ (≈1.5% of all pairs over 4 bands, measured 30× fewer
+    candidates than 4-bit bands on the fixture) while a true near-dup at
+    cos 0.95 still collides with ≈ 89% probability. The ANN query keeps
+    4-bit bands because its corpus's true neighbours are only weakly
+    similar. Wider bands → exponentially more buckets, exactly as MinHash
+    raises its band count; the plan shape is unchanged."""
+    planes = hyperplanes(n_planes=n_planes)
+    sig = emb.select(F.col(id_col), *_sig_cols(emb_col, planes, bands))
     buckets = sig.select(
         id_col,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("val"))
-            for b in range(BANDS)
+            for b in range(bands)
         ])).alias("bk"),
     ).select(id_col, "bk.band", "bk.val")
     right = buckets.select(F.col(id_col).alias("id2"), "band", "val")
@@ -151,10 +179,13 @@ def embed_cosine_dedup(emb: DataFrame, threshold_pct: int = 40,
     )
 
 
-def embed_cosine_dedup_oracle_sql(threshold_pct: int = 40) -> str:
+def embed_cosine_dedup_oracle_sql(threshold_pct: int = 40,
+                                  n_planes: int = DEDUP_PLANES,
+                                  bands: int = DEDUP_BANDS) -> str:
     """The identical definition in ANSI SQL (DuckDB) over the embeddings
     view — bit-for-bit comparable with :func:`embed_cosine_dedup`."""
-    planes = hyperplanes()
+    BANDS = bands  # shadow the module constant for the shared body below
+    planes = hyperplanes(n_planes=n_planes)
     n_per_band = len(planes) // BANDS
 
     def sig_expr() -> list[str]:

@@ -15,13 +15,45 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     }
     ann = {(r["q_id"], r["nbr_id"]) for r in E.q_ann_lsh(spark, sf_dir).collect()}
     recall = len(brute & ann) / len(brute)
-    # The fixture embeddings are weakly clustered (true top-5 cosines are
-    # only 0.26–0.39), which bounds hyperplane-LSH recall: with 16 planes in
-    # 4×4-bit bands the collision probability for cos≈0.31 neighbours is
-    # 1-(1-0.6⁴)⁴ ≈ 0.43 per band set, measured 0.70 end-to-end (exact
-    # integer arithmetic ⇒ deterministic). Pinned as a regression floor;
-    # recall rises with band count on genuinely near-duplicate data.
-    assert recall >= 0.65, recall
+    # The fixture embeddings are weakly clustered: the true top-5 cosines
+    # are only 0.26–0.39, barely above random pairs, so ANY sublinear ANN
+    # has bounded recall here — with 8×4-bit bands the collision
+    # probability for a cos≈0.3 "neighbour" is 1-(1-0.58⁴)⁸ ≈ 0.6.
+    # Measured 0.425 at sf0.001 / 0.575 at sf0.01 (deterministic — exact
+    # integer arithmetic). Pinned as a regression floor; the test below
+    # checks recall where LSH is actually meant to work (planted
+    # near-duplicates), and the earlier 0.70 floor was an artifact of a
+    # degenerate plane derivation that admitted half of ALL pairs.
+    assert recall >= 0.4, recall
+
+
+def test_ann_lsh_recall_on_planted_near_duplicates(spark, sf_dir):
+    """LSH's contract is NEAR-DUPLICATE retrieval: plant a slightly
+    perturbed twin of each query vector in the corpus and require the ANN
+    to rank it first — collision probability for a cos≥0.99 pair is
+    ≥ 1-(1-0.955⁴)⁸ ≈ 0.9998 per band set."""
+    from pyspark.sql import functions as F
+
+    from nettopologysuite_spark.engine.ann import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nq = E.ANN_NQ
+    base = {r["vec_id"]: list(r["embedding"])
+            for r in emb.filter(F.col("vec_id") < nq).collect()}
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    planted = [
+        (max_id + 1 + qid, [v + (0.001 if (i + qid) % 2 else -0.001)
+                            for i, v in enumerate(vec)])
+        for qid, vec in base.items()
+    ]
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+            .select("vec_id", F.col("embedding").cast("array<float>"))
+    )
+    top = ann_lsh_topk(corpus, nq, 1).collect()
+    got = {r["q_id"]: r["nbr_id"] for r in top}
+    for qid in base:
+        assert got[qid] == max_id + 1 + qid, (qid, got.get(qid))
 
 
 def test_ann_lsh_plan_is_jvm_side(spark, sf_dir):
