@@ -1,0 +1,7 @@
+from .tile_stream import (  # noqa: F401
+    run_available_now,
+    run_to_parquet,
+    stream_dedup_docs,
+    stream_tile_assign,
+    stream_tile_counts,
+)

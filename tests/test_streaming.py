@@ -1,0 +1,98 @@
+"""Structured Streaming gates: batch-equivalence of the streamed tile
+counts, watermark-bounded streaming dedup, and checkpoint resume reading
+only the delta."""
+
+import datetime as dt
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from nettopologysuite_spark.kernels.cells import Grid  # noqa: E402
+from nettopologysuite_spark.streaming import (  # noqa: E402
+    run_available_now,
+    stream_dedup_docs,
+    stream_tile_counts,
+)
+
+GRID = Grid(0.0, 0.0, 100.0, 100.0, level=3)
+PT_SCHEMA = "pid long, ts timestamp, x double, y double"
+DOC_SCHEMA = "doc_id long, ts timestamp, text string"
+
+
+def _write_points(spark, path, rows):
+    spark.createDataFrame(rows, PT_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _t(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_stream_tile_counts_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    rows = [(i, _t(i % 5), float(i % 97), float((i * 7) % 89)) for i in range(300)]
+    _write_points(spark, src, rows)
+
+    got = run_available_now(
+        stream_tile_counts(spark, src, PT_SCHEMA, GRID), ck
+    )
+    stream_counts = {(r.w_start, r.cell_id): r.n for r in got}
+
+    batch = (
+        spark.createDataFrame(rows, PT_SCHEMA)
+        .withColumn("cell_id", F.expr(GRID.sql_cell_expr("x", "y")))
+        .groupBy(F.window("ts", "1 minute"), "cell_id")
+        .count()
+        .collect()
+    )
+    batch_counts = {(r.window.start, r.cell_id): r["count"] for r in batch}
+    assert stream_counts == batch_counts
+
+
+def test_stream_resume_reads_only_delta(spark, tmp_path):
+    from nettopologysuite_spark.streaming import run_to_parquet, stream_tile_assign
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    first = [(i, _t(1), 1.0, 1.0) for i in range(50)]
+    _write_points(spark, src, first)
+    run_to_parquet(stream_tile_assign(spark, src, PT_SCHEMA, GRID), out, ck)
+    assert spark.read.parquet(out).count() == 50
+
+    # grow the source; the resumed query (same checkpoint) replays from the
+    # committed offsets and appends ONLY the delta — exactly-once, no
+    # duplicates of the first batch
+    second = [(1000 + i, _t(2), 2.0, 2.0) for i in range(20)]
+    _write_points(spark, src, second)
+    run_to_parquet(stream_tile_assign(spark, src, PT_SCHEMA, GRID), out, ck)
+    final = spark.read.parquet(out)
+    assert final.count() == 70
+    assert final.filter(F.col("pid") >= 1000).count() == 20
+    # cell assignment identical to the batch projection
+    assert final.filter(
+        F.col("cell_id") != F.expr(GRID.sql_cell_expr("x", "y"))
+    ).count() == 0
+
+
+def test_stream_dedup_suppresses_duplicates(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    rows = [
+        (1, _t(0), "alpha"), (2, _t(0, 30), "beta"),
+        (3, _t(1), "alpha"),  # dup of 1 inside the watermark horizon
+        (4, _t(1, 30), "gamma"), (5, _t(2), "beta"),
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    got = run_available_now(
+        stream_dedup_docs(spark, src, DOC_SCHEMA), ck, output_mode="append"
+    )
+    # one survivor per distinct text; first occurrence wins
+    texts = sorted(r.text for r in got)
+    assert texts == ["alpha", "beta", "gamma"]
+    keep = {r.text: r.doc_id for r in got}
+    assert keep["alpha"] == 1 and keep["beta"] == 2 and keep["gamma"] == 4
