@@ -1,6 +1,8 @@
 from .tile_stream import (  # noqa: F401
     run_available_now,
     run_to_parquet,
+    run_updates_to_parquet,
+    stream_cell_envelopes,
     stream_dedup_docs,
     stream_tile_assign,
     stream_tile_counts,

@@ -114,6 +114,85 @@ def stream_dedup_docs(
     return src.dropDuplicatesWithinWatermark(["_h"]).drop("_h")
 
 
+def stream_cell_envelopes(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType | str,
+    grid: Grid,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-cell RUNNING envelope +
+    count via ``applyInPandasWithState`` — the streaming form of the batch
+    ``envelope_agg`` (EnvelopeCombiner analog), with explicit keyed state
+    the built-in windowed aggregates cannot express (state is the running
+    min/max over the whole stream, not per window; emission is one updated
+    row per cell per micro-batch).
+
+    State per key is five doubles — bounded by the number of distinct
+    cells, not the stream length. For state expiry on idle cells, swap
+    ``NoTimeout`` for ``ProcessingTimeTimeout`` and emit+clear on timeout;
+    the pytest gate uses the running form for batch-equivalence."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        minx = miny = float("inf")
+        maxx = maxy = float("-inf")
+        if state.exists:
+            n, minx, miny, maxx, maxy = state.get
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            minx = min(minx, float(pdf[x].min()))
+            miny = min(miny, float(pdf[y].min()))
+            maxx = max(maxx, float(pdf[x].max()))
+            maxy = max(maxy, float(pdf[y].max()))
+        state.update((n, minx, miny, maxx, maxy))
+        yield pd.DataFrame(
+            {"cell_id": [key[0]], "n": [n], "minx": [minx], "miny": [miny],
+             "maxx": [maxx], "maxy": [maxy]}
+        )
+
+    src = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("cell_id", cell_col(grid, x, y))
+    )
+    return src.groupBy("cell_id").applyInPandasWithState(
+        update,
+        outputStructType="cell_id long, n long, minx double, miny double, "
+                         "maxx double, maxy double",
+        stateStructType="n long, minx double, miny double, maxx double, maxy double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_updates_to_parquet(stream_df: DataFrame, out_dir: str,
+                           checkpoint_dir: str, timeout_s: int = 120) -> None:
+    """Drain an UPDATE-mode stream (e.g. a stateful operator's emissions)
+    through ``foreachBatch`` into parquet, tagged with the micro-batch id —
+    the recoverable update-mode sink (the plain file sink is append-only;
+    memory sinks cannot recover). A restart resumes from the committed
+    offsets with the keyed state restored from the checkpoint's state
+    store."""
+    from pyspark.sql import functions as _F
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.withColumn("_batch", _F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       output_mode: str = "update", timeout_s: int = 120) -> list:
     """Drain everything currently available into an in-memory sink and

@@ -96,3 +96,47 @@ def test_stream_dedup_suppresses_duplicates(spark, tmp_path):
     assert texts == ["alpha", "beta", "gamma"]
     keep = {r.text: r.doc_id for r in got}
     assert keep["alpha"] == 1 and keep["beta"] == 2 and keep["gamma"] == 4
+
+
+def test_stream_cell_envelopes_stateful(spark, tmp_path):
+    """applyInPandasWithState running envelope: state persists across
+    micro-batches (via the checkpoint) and the final emission per cell
+    equals the batch envelope aggregate over ALL rows seen."""
+    from nettopologysuite_spark.streaming import (
+        run_updates_to_parquet,
+        stream_cell_envelopes,
+    )
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    first = [(i, _t(0), float(i % 40), float(i % 30)) for i in range(100)]
+    _write_points(spark, src, first)
+    run_updates_to_parquet(
+        stream_cell_envelopes(spark, src, PT_SCHEMA, GRID), out, ck
+    )
+
+    second = [(200 + i, _t(1), float(50 + i % 7), float(i % 9)) for i in range(40)]
+    _write_points(spark, src, second)
+    run_updates_to_parquet(
+        stream_cell_envelopes(spark, src, PT_SCHEMA, GRID), out, ck
+    )
+    # keep the LAST emission per cell (update mode re-emits per batch)
+    final = {}
+    for r in sorted(spark.read.parquet(out).collect(), key=lambda r: r._batch):
+        final[r.cell_id] = (r.n, r.minx, r.miny, r.maxx, r.maxy)
+
+    batch = (
+        spark.createDataFrame(first + second, PT_SCHEMA)
+        .withColumn("cell_id", F.expr(GRID.sql_cell_expr("x", "y")))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n"), F.min("x").alias("minx"),
+             F.min("y").alias("miny"), F.max("x").alias("maxx"),
+             F.max("y").alias("maxy"))
+        .collect()
+    )
+    expect = {r.cell_id: (r.n, r.minx, r.miny, r.maxx, r.maxy) for r in batch}
+    # cells touched in the second run must reflect cumulative state; cells
+    # only touched in run 1 were emitted then with their full totals
+    for cell, vals in expect.items():
+        assert final[cell] == vals, (cell, final[cell], vals)
