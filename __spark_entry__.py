@@ -627,12 +627,9 @@ def _cell_sql(x: str, y: str, grid: Grid) -> str:
     return grid.sql_cell_expr(x, y)
 
 
-_LANG_MARKERS = {
-    "en": ["the", "and"],
-    "de": ["der", "und"],
-    "fr": ["le", "et"],
-    "es": ["el", "y"],
-}
+# single source of truth for the marker table: the oracle must test exactly
+# the definition the engine runs, so a new language/marker lands in both
+from nettopologysuite_spark.engine.text import LANG_MARKERS as _LANG_MARKERS
 
 _WORDS_SQL = "regexp_split_to_array(TRIM(text), '\\s+')"
 

@@ -179,32 +179,34 @@ def embed_cosine_dedup(emb: DataFrame, threshold_pct: int = 40,
     )
 
 
+def _sig_sql_exprs(planes: list[list[int]], bands: int, tbl: str) -> list[str]:
+    """DuckDB band-signature expressions — the single SQL twin of
+    ``_sig_cols``; shared by both oracle builders so the bit-reproducibility
+    contract has exactly one definition per engine."""
+    bits = []
+    for plane in planes:
+        arr = "[" + ", ".join(f"CAST({h} AS DOUBLE)" for h in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(list_transform({tbl}.embedding, "
+            f"x -> floor(CAST(x AS DOUBLE) * 1024)), {arr}), p -> p[1] * p[2]))"
+        )
+        bits.append(f"(CASE WHEN COALESCE({dot}, 0) >= 0 THEN 1 ELSE 0 END)")
+    n_per_band = len(planes) // bands
+    return [
+        "(" + " + ".join(
+            f"({bits[b * n_per_band + i]} * {1 << i})" for i in range(n_per_band)
+        ) + ")"
+        for b in range(bands)
+    ]
+
+
 def embed_cosine_dedup_oracle_sql(threshold_pct: int = 40,
                                   n_planes: int = DEDUP_PLANES,
                                   bands: int = DEDUP_BANDS) -> str:
     """The identical definition in ANSI SQL (DuckDB) over the embeddings
     view — bit-for-bit comparable with :func:`embed_cosine_dedup`."""
-    BANDS = bands  # shadow the module constant for the shared body below
-    planes = hyperplanes(n_planes=n_planes)
-    n_per_band = len(planes) // BANDS
-
-    def sig_expr() -> list[str]:
-        bits = []
-        for plane in planes:
-            arr = "[" + ", ".join(f"CAST({h} AS DOUBLE)" for h in plane) + "]"
-            dot = (
-                "list_sum(list_transform(list_zip(list_transform(e.embedding, "
-                f"x -> floor(CAST(x AS DOUBLE) * 1024)), {arr}), p -> p[1] * p[2]))"
-            )
-            bits.append(f"(CASE WHEN COALESCE({dot}, 0) >= 0 THEN 1 ELSE 0 END)")
-        return [
-            "(" + " + ".join(
-                f"({bits[b * n_per_band + i]} * {1 << i})" for i in range(n_per_band)
-            ) + ")"
-            for b in range(BANDS)
-        ]
-
-    e_bands = sig_expr()
+    BANDS = bands  # local name for the shared query body below
+    e_bands = _sig_sql_exprs(hyperplanes(n_planes=n_planes), bands, "e")
     return (
         "WITH s AS (SELECT e.vec_id, e.embedding, "
         + ", ".join(f"{e_bands[b]} AS band{b}" for b in range(BANDS))
@@ -233,29 +235,7 @@ def embed_cosine_dedup_oracle_sql(threshold_pct: int = 40,
 def ann_lsh_oracle_sql(n_queries: int, k: int) -> str:
     """The identical definition in ANSI SQL (DuckDB) over the embeddings
     view — bit-for-bit comparable with :func:`ann_lsh_topk`."""
-    planes = hyperplanes()
-    n_per_band = len(planes) // BANDS
-
-    def sig_expr(tbl: str) -> list[str]:
-        bits = []
-        for plane in planes:
-            arr = "[" + ", ".join(f"CAST({h} AS DOUBLE)" for h in plane) + "]"
-            dot = (
-                f"list_sum(list_transform(list_zip(list_transform({tbl}.embedding, "
-                f"x -> floor(CAST(x AS DOUBLE) * 1024)), {arr}), p -> p[1] * p[2]))"
-            )
-            bits.append(f"(CASE WHEN COALESCE({dot}, 0) >= 0 THEN 1 ELSE 0 END)")
-        return [
-            "(" + " + ".join(
-                f"({bits[b * n_per_band + i]} * {1 << i})" for i in range(n_per_band)
-            ) + ")"
-            for b in range(BANDS)
-        ]
-
-    e_bands = sig_expr("e")
-    band_rows = ", ".join(
-        f"({b}, {e_bands[b]})" for b in range(BANDS)
-    )
+    e_bands = _sig_sql_exprs(hyperplanes(), BANDS, "e")
     return (
         "WITH s AS (SELECT e.vec_id, e.embedding, "
         + ", ".join(f"{e_bands[b]} AS band{b}" for b in range(BANDS))

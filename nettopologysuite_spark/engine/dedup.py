@@ -92,6 +92,13 @@ def _jaccard_counts(grams: DataFrame, pairs: DataFrame,
       row carrying both full arrays (measured ~25% faster than "sets" on
       ngram_jaccard's 8.7k-pair / 150-gram-set workload, and it degrades
       gracefully as pair multiplicity grows).
+
+    EAGER: this function executes the whole candidate pipeline at call time
+    (``localCheckpoint(eager=True)``) so the intermediate persists can be
+    released before returning — the returned frame is the small
+    materialized pair table, not a lazy plan. It also persists/unpersists
+    ``pairs`` internally; callers should pass an unpersisted frame (an
+    externally-cached ``pairs`` would be uncached on return).
     """
     # ``pairs``' producing plan may be the whole LSH pipeline — persist it
     # so that pipeline runs ONCE, not once per reference (at 100 TB the
@@ -163,6 +170,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(d1, d2, ni, nu): exact intersection/union n-gram counts per pair.
+    EAGER — executes at call time and returns the materialized pair table
+    (see ``_jaccard_counts``).
 
     Grams pass through NON-distinct: ``_jaccard_counts`` dedups after its
     candidate semi-join anyway, so a pre-distinct here would pay the

@@ -41,10 +41,10 @@ def interval_join(
     minv: float,
     maxv: float,
     nbins: int = 64,
-    l_lo: str = "lo",
-    l_hi: str = "hi",
-    r_lo: str = "lo",
-    r_hi: str = "hi",
+    l_lo: str = "l_lo",
+    l_hi: str = "l_hi",
+    r_lo: str = "r_lo",
+    r_hi: str = "r_hi",
 ) -> DataFrame:
     """All (left, right) row pairs whose closed intervals overlap:
     ``l_lo <= r_hi AND l_hi >= r_lo``.
@@ -57,9 +57,13 @@ def interval_join(
     emitted exactly once with no ``distinct`` shuffle. The 1-D form of the
     spatial reference-cell rule (``engine/joins.py``).
 
-    Output: all columns of both inputs (names must not collide) plus
-    ``overlap`` = length of the intersection.
+    Output: all columns of both inputs (names must not collide — including
+    the four bound columns, which is why the defaults are side-prefixed)
+    plus ``overlap`` = length of the intersection.
     """
+    for a, b in ((l_lo, r_lo), (l_hi, r_hi)):
+        if a == b:
+            raise ValueError(f"bound columns collide across sides: {a!r}")
     bin_w = (maxv - minv) / nbins
 
     def _explode(df: DataFrame, lo: str, hi: str) -> DataFrame:

@@ -707,12 +707,15 @@ def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
             return pd.Series(out)
         rcodes, runiq = pd.factorize(rwkb.to_numpy(object))
         if vector_fast:
-            gb_left = GeomBatch.from_wkb(lwkb.to_list())
-            idx_all = np.arange(n, dtype=np.int64)
+            # factorize lefts too: a geometry in m candidate pairs of this
+            # batch decodes into the columnar batch once, not m times
+            # (batch_intersects accepts repeated indices)
+            lcodes, luniq = pd.factorize(lwkb.to_numpy(object))
+            gb_left = GeomBatch.from_wkb([bytes(b) for b in luniq])
             for j, blob in enumerate(runiq):
                 sel = rcodes == j
                 pr = PreparedRight(wkb_loads(bytes(blob)))
-                out[sel] = batch_intersects(gb_left, idx_all[sel], pr)
+                out[sel] = batch_intersects(gb_left, lcodes[sel], pr)
         else:
             rgeoms = [wkb_loads(bytes(b)) for b in runiq]
             # factorize lefts too: a geometry in m candidate pairs of this

@@ -125,15 +125,13 @@ class STRtree:
             node = node[hit]
             if len(q) == 0:
                 return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            from .batchgeom import _ranges_concat
+
             ch = self.children[level]
             starts = ch[node, 0]
             counts = ch[node, 1] - starts
-            # vectorized concat-of-ranges: child j of frontier i is
-            # starts[i] + (j - offset[i])
-            total = int(counts.sum())
-            q = np.repeat(q, counts)
-            base = np.repeat(starts - np.concatenate(([0], counts[:-1])).cumsum(), counts)
-            node = base + np.arange(total, dtype=np.int64)
+            node, owner = _ranges_concat(starts, counts)
+            q = q[owner]
             level -= 1
         idx = self.item_order[node]
         e = self.envs[idx]

@@ -31,6 +31,17 @@ from ..kernels.cells import Grid
 from ..engine.tiling import cell_col
 
 
+def _await_or_raise(q, timeout_s: int) -> None:
+    """awaitTermination returns False on timeout with the query STILL
+    RUNNING — silently returning then would hand back a partial sink and
+    leave an orphan holding the checkpoint. Stop it and fail loudly."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain exceeded {timeout_s}s; query stopped, sink partial"
+        )
+
+
 def stream_tile_counts(
     spark: SparkSession,
     src_dir: str,
@@ -91,7 +102,7 @@ def run_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_raise(q, timeout_s)
 
 
 def stream_dedup_docs(
@@ -173,15 +184,18 @@ def stream_cell_envelopes(
 def run_updates_to_parquet(stream_df: DataFrame, out_dir: str,
                            checkpoint_dir: str, timeout_s: int = 120) -> None:
     """Drain an UPDATE-mode stream (e.g. a stateful operator's emissions)
-    through ``foreachBatch`` into parquet, tagged with the micro-batch id —
-    the recoverable update-mode sink (the plain file sink is append-only;
-    memory sinks cannot recover). A restart resumes from the committed
-    offsets with the keyed state restored from the checkpoint's state
-    store."""
-    from pyspark.sql import functions as _F
+    through ``foreachBatch`` into parquet, one ``batch=<id>`` partition
+    directory per micro-batch — the recoverable update-mode sink (the
+    plain file sink is append-only; memory sinks cannot recover).
+
+    foreachBatch alone is at-least-once: a crash between the data write
+    and the commit-log record makes the restart REPLAY that batch. The
+    deterministic per-batch directory + ``overwrite`` makes the replay
+    idempotent (it rewrites the same partition), restoring exactly-once
+    output; keyed state is restored from the checkpoint's state store."""
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        df.withColumn("_batch", _F.lit(batch_id)).write.mode("append").parquet(out_dir)
+        df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)
@@ -190,7 +204,7 @@ def run_updates_to_parquet(stream_df: DataFrame, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_raise(q, timeout_s)
 
 
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
@@ -211,6 +225,6 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_raise(q, timeout_s)
     rows = stream_df.sparkSession.sql(f"SELECT * FROM {name}").collect()
     return rows

@@ -123,7 +123,7 @@ def test_stream_cell_envelopes_stateful(spark, tmp_path):
     )
     # keep the LAST emission per cell (update mode re-emits per batch)
     final = {}
-    for r in sorted(spark.read.parquet(out).collect(), key=lambda r: r._batch):
+    for r in sorted(spark.read.parquet(out).collect(), key=lambda r: r.batch):
         final[r.cell_id] = (r.n, r.minx, r.miny, r.maxx, r.maxy)
 
     batch = (
