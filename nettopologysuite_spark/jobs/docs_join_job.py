@@ -1,11 +1,12 @@
 """spark-submit entry point: the flagship interleaved-docs spatial join as a
 resumable, lineage-tracked pipeline.
 
-Usage (cluster):
+Usage (cluster) — spark-submit takes a script path and this module uses
+package-relative imports, so submit the repo-root shim with the package
+zipped onto the PYTHONPATH:
 
     spark-submit --py-files nettopologysuite_spark.zip \\
-        -m nettopologysuite_spark.jobs.docs_join_job \\
-        --input /data/sf0.1 --output /out/run1 [--level 6]
+        submit_docs_join.py --input /data/sf0.1 --output /out/run1 [--level 6]
 
 Stages (each checkpointed via ``engine.lineage.run_stage`` — a re-run after
 any failure resumes from the last committed stage):
