@@ -544,6 +544,71 @@ def build_registry() -> dict:
             ]
         )
 
+    @pandas_udf("binary")
+    def st_reduce_precision(wkb: pd.Series, scale: pd.Series) -> pd.Series:
+        from ..kernels.snapround import make_precise
+
+        return pd.Series(
+            [None if g is None else wkb_dumps(make_precise(g, float(s)))
+             for g, s in zip(_geoms(wkb), scale)]
+        )
+
+    @pandas_udf("boolean")
+    def st_equals_exact(a: pd.Series, b: pd.Series, tol: pd.Series) -> pd.Series:
+        from ..kernels.normalize import equals_exact
+
+        ga, gb = _geoms(a), _geoms(b)
+        return pd.Series(
+            [None if x is None or y is None else bool(equals_exact(x, y, float(t)))
+             for x, y, t in zip(ga, gb, tol)]
+        )
+
+    @pandas_udf("boolean")
+    def st_dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+        ga, gb = _geoms(a), _geoms(b)
+        return pd.Series(
+            [None if x is None or y is None
+             else bool(measures.is_within_distance(x, y, float(t)))
+             for x, y, t in zip(ga, gb, d)]
+        )
+
+    @pandas_udf("struct<cx:double,cy:double,radius:double>")
+    def st_largest_empty_circle(obstacles: pd.Series, boundary: pd.Series,
+                                tol: pd.Series) -> pd.DataFrame:
+        from ..kernels.construct import largest_empty_circle
+
+        rows = []
+        for go, gb, t in zip(_geoms(obstacles), _geoms(boundary), tol):
+            rows.append(
+                (None, None, None) if go is None or gb is None
+                else largest_empty_circle(go, gb, float(t))
+            )
+        return pd.DataFrame(rows, columns=["cx", "cy", "radius"])
+
+    @pandas_udf("binary")
+    def st_coverage_union(parts: pd.Series) -> pd.Series:
+        from ..kernels.coverage import coverage_union
+
+        out = []
+        for arr in parts:
+            if arr is None:
+                out.append(None)
+                continue
+            geoms = [wkb_loads(bytes(b)) for b in arr if b is not None]
+            out.append(wkb_dumps(coverage_union(geoms)) if geoms else None)
+        return pd.Series(out)
+
+    @pandas_udf("binary")
+    def st_polygon_hull(wkb: pd.Series, is_outer: pd.Series,
+                        vertex_frac: pd.Series) -> pd.Series:
+        from ..kernels.polygon_hull import polygon_hull
+
+        return pd.Series(
+            [None if g is None
+             else wkb_dumps(polygon_hull(g, bool(o), vertex_frac=float(f)))
+             for g, o, f in zip(_geoms(wkb), is_outer, vertex_frac)]
+        )
+
     registry = {
         "ST_GeomFromText": st_geomfromtext,
         "ST_AsText": st_astext,
@@ -603,6 +668,17 @@ def build_registry() -> dict:
         "ST_Union": _binary_geom("union"),
         "ST_Difference": _binary_geom("difference"),
         "ST_SymDifference": _binary_geom("symdifference"),
+        # precision / exactness surface (GeometryPrecisionReducer,
+        # Geometry.EqualsExact, Geometry.IsWithinDistance)
+        "ST_ReducePrecision": st_reduce_precision,
+        "ST_EqualsExact": st_equals_exact,
+        "ST_DWithin": st_dwithin,
+        # construction tails (LargestEmptyCircle, CoverageUnion,
+        # PolygonHullSimplifier; InteriorPoint = PointOnSurface in JTS)
+        "ST_LargestEmptyCircle": st_largest_empty_circle,
+        "ST_CoverageUnion": st_coverage_union,
+        "ST_PolygonHull": st_polygon_hull,
+        "ST_InteriorPoint": st_point_on_surface,
     }
 
 

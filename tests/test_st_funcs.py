@@ -71,3 +71,49 @@ def test_st_utility_functions(spark):
     assert row["np"] == 5
     assert row["norm"] == "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))"
     assert row["pz"] == "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))"
+
+
+def test_st_precision_and_construct_tails(spark):
+    """ST_ReducePrecision / ST_EqualsExact / ST_DWithin /
+    ST_LargestEmptyCircle / ST_CoverageUnion / ST_PolygonHull /
+    ST_InteriorPoint."""
+    from nettopologysuite_spark.functions.st_funcs import register_all
+
+    register_all(spark)
+    row = spark.sql(
+        """
+        SELECT
+          ST_AsText(ST_ReducePrecision(
+            ST_GeomFromText('POINT (1.26 4.74)'), 2.0)) AS rp,
+          ST_EqualsExact(ST_GeomFromText('POINT (1 2)'),
+                         ST_GeomFromText('POINT (1.05 2)'), 0.1) AS ee,
+          ST_EqualsExact(ST_GeomFromText('POINT (1 2)'),
+                         ST_GeomFromText('POINT (1.5 2)'), 0.1) AS ne,
+          ST_DWithin(ST_GeomFromText('POINT (0 0)'),
+                     ST_GeomFromText('POINT (3 4)'), 5.0) AS dw,
+          ST_DWithin(ST_GeomFromText('POINT (0 0)'),
+                     ST_GeomFromText('POINT (3 4)'), 4.9) AS dn,
+          ST_LargestEmptyCircle(
+            ST_GeomFromText('MULTIPOINT ((0 0), (10 0), (10 10), (0 10))'),
+            ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+            0.01) AS lec,
+          ST_Area(ST_CoverageUnion(array(
+            ST_GeomFromText('POLYGON ((0 0, 5 0, 5 10, 0 10, 0 0))'),
+            ST_GeomFromText('POLYGON ((5 0, 10 0, 10 10, 5 10, 5 0))')))) AS cu,
+          ST_Area(ST_PolygonHull(
+            ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))'),
+            true, 0.5)) AS ph,
+          ST_AsText(ST_InteriorPoint(
+            ST_GeomFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS ip
+        """
+    ).collect()[0]
+    assert row["rp"] == "POINT (1.5 4.5)"
+    assert row["ee"] is True and row["ne"] is False
+    assert row["dw"] is True and row["dn"] is False
+    # the largest empty circle among the four corner obstacles is centered
+    # in the middle of the square, radius ~ half the diagonal
+    assert abs(row["lec"]["cx"] - 5.0) < 0.1 and abs(row["lec"]["cy"] - 5.0) < 0.1
+    assert abs(row["lec"]["radius"] - 50 ** 0.5) < 0.1
+    assert row["cu"] == 100.0
+    assert row["ph"] >= 100.0  # outer hull contains the input
+    assert row["ip"] == "POINT (2 2)"
