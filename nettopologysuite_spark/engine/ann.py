@@ -1,10 +1,12 @@
 """Approximate nearest neighbour over embedding columns.
 
-Scale path: random-hyperplane LSH. One linear JVM-side pass computes a
-16-bit signature per vector (sign of ⟨quantized embedding, integer
-hyperplane⟩ — Spark higher-order functions, zero Python), banded into 4×4-bit
-LSH buckets; candidate pairs come from a bucket equi-join against the query
-signatures; the exact cosine re-rank runs only on candidates. At 100 TB this
+Scale path: random-hyperplane LSH. One linear JVM-side pass computes sign
+bits per vector (sign of ⟨quantized embedding, integer hyperplane⟩ — Spark
+higher-order functions, zero Python), packed into LSH band buckets —
+8×4-bit bands for the ANN query (recall banding) and 4×8-bit bands for the
+embedding dedup (selectivity banding); candidate pairs come from a bucket
+equi-join against the query signatures; the exact cosine re-rank runs only
+on candidates. At 100 TB this
 is the standard sweep: one scan to signatures, one shuffle-free broadcast
 bucket join (query side is small), exact re-rank on a vanishing fraction.
 
@@ -36,11 +38,11 @@ def hyperplanes(dim: int = DIM, n_planes: int = N_PLANES) -> list[list[int]]:
     The xor-fold is load-bearing: the bare LCG residue ``(seed*_LCG) % 16``
     is DEGENERATE here because ``_LCG ≡ 1 (mod 16)`` and ``p·dim ≡ 0 (mod
     16)`` — every plane p collapsed to the same vector ``(1+d) % 16 - 8``,
-    so all 16 "independent" sign bits were one bit and the LSH had exactly
+    so all the "independent" sign bits were one bit and the LSH had exactly
     two buckets (candidates ≈ half of ALL pairs — brute force in disguise).
     Folding the high half of the 32-bit product in first decorrelates the
-    planes (verified: 16 distinct planes, per-band buckets spread over all
-    values, candidate volume halved on the fixture)."""
+    planes (verified: all planes distinct, per-band buckets spread over the
+    full value range, candidate volume halved on the fixture)."""
     out = []
     for p in range(n_planes):
         row = []

@@ -61,9 +61,9 @@ def interval_join(
     the four bound columns, which is why the defaults are side-prefixed)
     plus ``overlap`` = length of the intersection.
     """
-    for a, b in ((l_lo, r_lo), (l_hi, r_hi)):
-        if a == b:
-            raise ValueError(f"bound columns collide across sides: {a!r}")
+    shared = {l_lo, l_hi} & {r_lo, r_hi}
+    if shared:
+        raise ValueError(f"bound columns collide across sides: {sorted(shared)}")
     bin_w = (maxv - minv) / nbins
 
     def _explode(df: DataFrame, lo: str, hi: str) -> DataFrame:

@@ -18,6 +18,8 @@ import math
 
 import numpy as np
 
+from .batchgeom import _ranges_concat
+
 DEFAULT_NODE_CAPACITY = 10  # STRtree.cs default
 
 
@@ -125,8 +127,6 @@ class STRtree:
             node = node[hit]
             if len(q) == 0:
                 return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-            from .batchgeom import _ranges_concat
-
             ch = self.children[level]
             starts = ch[node, 0]
             counts = ch[node, 1] - starts

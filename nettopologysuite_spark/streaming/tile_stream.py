@@ -226,5 +226,9 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
         .start()
     )
     _await_or_raise(q, timeout_s)
-    rows = stream_df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+    spark = stream_df.sparkSession
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # the memory sink holds a full result copy per query name for the
+    # session's lifetime — drop it so repeated drains don't accumulate
+    spark.catalog.dropTempView(name)
     return rows
