@@ -140,3 +140,28 @@ def test_stream_cell_envelopes_stateful(spark, tmp_path):
     # only touched in run 1 were emitted then with their full totals
     for cell, vals in expect.items():
         assert final[cell] == vals, (cell, final[cell], vals)
+
+
+def test_stream_late_rows_beyond_watermark_dropped(spark, tmp_path):
+    """Late-data semantics: the checkpoint persists the watermark across
+    runs, so a row arriving in a later run with event time older than the
+    carried watermark is DROPPED from the windowed aggregate."""
+    from nettopologysuite_spark.streaming import run_updates_to_parquet
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    # run 1: rows at minute 10 advance the watermark to ~minute 8
+    _write_points(spark, src, [(i, _t(10), 1.0, 1.0) for i in range(10)])
+    run_updates_to_parquet(stream_tile_counts(spark, src, PT_SCHEMA, GRID), out, ck)
+    b1 = spark.read.parquet(out).agg(F.max("batch")).first()[0]
+
+    # run 2 (resumed from the checkpoint, watermark carried): one late row
+    # at minute 3 (< watermark) and one fresh row at minute 11 — only the
+    # fresh row's window may appear among run 2's emissions
+    _write_points(spark, src, [(100, _t(3), 1.0, 1.0), (101, _t(11), 1.0, 1.0)])
+    run_updates_to_parquet(stream_tile_counts(spark, src, PT_SCHEMA, GRID), out, ck)
+    run2 = spark.read.parquet(out).filter(F.col("batch") > b1).collect()
+    starts = {r.w_start.minute for r in run2}
+    assert 3 not in starts  # late row dropped
+    assert any(r.w_start.minute == 11 and r.n == 1 for r in run2)
