@@ -165,3 +165,19 @@ def test_stream_late_rows_beyond_watermark_dropped(spark, tmp_path):
     starts = {r.w_start.minute for r in run2}
     assert 3 not in starts  # late row dropped
     assert any(r.w_start.minute == 11 and r.n == 1 for r in run2)
+
+
+def test_stream_plans_are_jvm_side(spark, tmp_path):
+    """The stateless tile-assign and windowed-count streams compile to
+    Python-free plans — same codegen projection as the batch paths (the
+    stateful envelope operator is Arrow-batched by design)."""
+    src = str(tmp_path / "src")
+    _write_points(spark, src, [(0, _t(0), 1.0, 1.0)])
+    from nettopologysuite_spark.streaming import stream_tile_assign
+
+    for df in (
+        stream_tile_assign(spark, src, PT_SCHEMA, GRID),
+        stream_tile_counts(spark, src, PT_SCHEMA, GRID),
+    ):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
