@@ -729,6 +729,57 @@ def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
     return _refine
 
 
+def choose_grid(
+    left: DataFrame,
+    right: DataFrame,
+    extent: tuple[float, float, float, float],
+    left_wkb: str = "l_wkb",
+    right_wkb: str = "r_wkb",
+    fraction: float = 0.01,
+    max_level: int = 8,
+) -> Grid:
+    """Pick the cell grid for a big×big join from a SAMPLE of both sides'
+    envelope spans.
+
+    The grid level is the join's shuffle-amplification knob: each row
+    explodes once per covered cell, so cells much smaller than the typical
+    feature multiply the shuffle volume, while cells much larger pile
+    unrelated features into the same bucket. The standard heuristic is
+    cell size ≈ average feature extent (measured 1.3–3× on the rect ×
+    octagon workload vs a 2×-finer grid). A 1% sample's mean max-span
+    estimates that extent in one cheap aggregate job; point-dominated data
+    (span ≈ 0) clamps to ``max_level`` — points never explode, so the
+    finest grid only adds parallelism."""
+    import math
+
+    from .tiling import envelope_struct_udf
+
+    env_udf = envelope_struct_udf()
+    spans = []
+    for df, col in ((left, left_wkb), (right, right_wkb)):
+        s = df.sample(fraction=fraction, seed=7).select(
+            env_udf(F.col(col)).alias("_e")
+        )
+        spans.append(
+            s.select(
+                F.greatest(
+                    F.col("_e.maxx") - F.col("_e.minx"),
+                    F.col("_e.maxy") - F.col("_e.miny"),
+                ).alias("_span")
+            )
+        )
+    row = spans[0].unionByName(spans[1]).agg(F.avg("_span")).first()
+    span = row[0] or 0.0
+    minx, miny, maxx, maxy = extent
+    width = max(maxx - minx, maxy - miny)
+    if span <= 0 or width <= 0:
+        level = max_level
+    else:
+        level = int(round(math.log2(width / span)))
+        level = max(1, min(max_level, level))
+    return Grid(minx, miny, maxx, maxy, level=level)
+
+
 def spatial_join_bigbig(
     left: DataFrame,
     right: DataFrame,

@@ -159,3 +159,40 @@ def test_strtree_nearest_item_dist_callback():
         d2 = (centers[:, 0] - qx) ** 2 + (centers[:, 1] - qy) ** 2
         expect = list(np.argsort(d2, kind="stable")[:5])
         assert sorted(got) == sorted(int(e) for e in expect)
+
+
+def test_choose_grid_matches_feature_extent(spark, sf_dir):
+    """The sampled auto-level lands at cell size ~ feature extent for the
+    rect x octagon workload, clamps to the finest level for points, and the
+    join result is identical under the chosen grid (dedup invariant)."""
+    import __spark_entry__ as E
+    from nettopologysuite_spark.engine.derive import nation_octagon_geom
+    from nettopologysuite_spark.engine.joins import choose_grid, spatial_join_bigbig
+    from nettopologysuite_spark.kernels.geom import wkb_dumps
+
+    rects = E._event_rects(spark, sf_dir)
+    keys = E._nation_keys(spark, sf_dir)
+    octs = spark.createDataFrame(
+        [(f"oct-{k}", wkb_dumps(nation_octagon_geom(k))) for k in keys],
+        "poly_id string, oct_wkb binary",
+    )
+    g = choose_grid(rects, octs, (0.0, 0.0, 100.0, 100.0),
+                    left_wkb="geom_wkb", right_wkb="oct_wkb", fraction=0.5)
+    # rect spans 2-8, octagons 8-16 -> mean max-span ~5-7 -> level 4 +- 1
+    assert 3 <= g.level <= 5, g.level
+    auto = spatial_join_bigbig(
+        rects, octs, g, "intersects",
+        left_id="pid", right_id="poly_id", left_wkb="geom_wkb", right_wkb="oct_wkb",
+    )
+    fixed = E.q_poly_poly_join(spark, sf_dir)
+    a = {(r.pid, r.poly_id) for r in auto.select("pid", "poly_id").collect()}
+    b = {(r.pid, r.poly_id) for r in fixed.collect()}
+    assert a == b
+
+    # point-dominated side: spans ~0 -> clamps to the finest level
+    from nettopologysuite_spark.kernels.geom import point as k_point, wkb_dumps as wd
+    ptrows = [(i, wd(k_point(float(i % 10), float(i % 7)))) for i in range(200)]
+    ptdf = spark.createDataFrame(ptrows, "pid long, geom_wkb binary")
+    g2 = choose_grid(ptdf, ptdf, (0.0, 0.0, 100.0, 100.0),
+                     left_wkb="geom_wkb", right_wkb="geom_wkb", fraction=1.0)
+    assert g2.level == 8
