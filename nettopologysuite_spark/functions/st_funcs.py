@@ -609,6 +609,38 @@ def build_registry() -> dict:
              for g, o, f in zip(_geoms(wkb), is_outer, vertex_frac)]
         )
 
+    @pandas_udf("string")
+    def st_asgml(wkb: pd.Series) -> pd.Series:
+        from ..kernels.gmlkml import gml_dumps
+
+        return pd.Series(
+            [None if g is None else gml_dumps(g) for g in _geoms(wkb)]
+        )
+
+    @pandas_udf("binary")
+    def st_geomfromgml(text: pd.Series) -> pd.Series:
+        from ..kernels.gmlkml import gml_loads
+
+        return pd.Series(
+            [None if t is None else wkb_dumps(gml_loads(t)) for t in text]
+        )
+
+    @pandas_udf("string")
+    def st_askml(wkb: pd.Series) -> pd.Series:
+        from ..kernels.gmlkml import kml_dumps
+
+        return pd.Series(
+            [None if g is None else kml_dumps(g) for g in _geoms(wkb)]
+        )
+
+    @pandas_udf("binary")
+    def st_geomfromkml(text: pd.Series) -> pd.Series:
+        from ..kernels.gmlkml import kml_loads
+
+        return pd.Series(
+            [None if t is None else wkb_dumps(kml_loads(t)) for t in text]
+        )
+
     registry = {
         "ST_GeomFromText": st_geomfromtext,
         "ST_AsText": st_astext,
@@ -679,6 +711,11 @@ def build_registry() -> dict:
         "ST_CoverageUnion": st_coverage_union,
         "ST_PolygonHull": st_polygon_hull,
         "ST_InteriorPoint": st_point_on_surface,
+        # XML serialization surface (IO/GML2, IO/GML3, IO/KML)
+        "ST_AsGML": st_asgml,
+        "ST_GeomFromGML": st_geomfromgml,
+        "ST_AsKML": st_askml,
+        "ST_GeomFromKML": st_geomfromkml,
     }
 
 

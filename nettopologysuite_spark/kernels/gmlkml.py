@@ -1,0 +1,247 @@
+"""GML 2/3 and KML geometry serialization.
+
+Reference semantics: ``IO/GML2/GMLReader.cs`` (element dispatch incl. the
+GML3 aliases MultiCurve/MultiSurface and pos/posList forms),
+``IO/GML2/GMLWriter.cs`` / ``IO/GML3/GML3Writer.cs`` (coordinates vs
+pos/posList, outerBoundaryIs vs exterior), ``IO/KML/KMLReader.cs`` and
+``IO/KML/KMLWriter.cs`` (KML ``coordinates`` are comma-packed x,y[,z],
+Multi* renders as MultiGeometry).
+
+The geometry model here is 2-D: Z ordinates present in the input are
+accepted and dropped on read (the reference preserves them; documented
+divergence consistent with the engine-wide 2-D coordinate model).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from .geom import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geom,
+    linestring,
+    multi,
+    point,
+    polygon,
+)
+
+GML_NS = "http://www.opengis.net/gml"
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _coords_from_coordinates(text: str) -> np.ndarray:
+    """GML2/KML ``coordinates``: whitespace-separated tuples of
+    comma-separated ordinates (x,y[,z])."""
+    pts = []
+    for tok in (text or "").split():
+        parts = tok.split(",")
+        pts.append((float(parts[0]), float(parts[1])))
+    return np.array(pts, dtype=np.float64) if pts else np.empty((0, 2))
+
+
+def _coords_from_poslist(text: str, dim: int = 2) -> np.ndarray:
+    vals = [float(v) for v in (text or "").split()]
+    if not vals:
+        return np.empty((0, 2))
+    return np.array(vals, dtype=np.float64).reshape(-1, dim)[:, :2]
+
+
+def _child_coords(el: ET.Element) -> np.ndarray:
+    """Coordinate payload of a GML geometry element, any of the three
+    forms (coordinates / pos / posList)."""
+    for ch in el:
+        name = _local(ch.tag)
+        if name == "coordinates":
+            return _coords_from_coordinates(ch.text)
+        if name == "pos":
+            return _coords_from_poslist(ch.text)
+        if name == "posList":
+            dim = int(ch.get("srsDimension", "2"))
+            return _coords_from_poslist(ch.text, dim)
+    return np.empty((0, 2))
+
+
+_MEMBER_TAGS = {
+    "pointMember", "pointMembers", "lineStringMember", "curveMember",
+    "curveMembers", "polygonMember", "surfaceMember", "surfaceMembers",
+    "geometryMember", "geometryMembers",
+}
+
+
+def _parse_element(el: ET.Element) -> Geom:
+    name = _local(el.tag)
+    if name == "Point":
+        c = _child_coords(el)
+        return point(float(c[0, 0]), float(c[0, 1]))
+    if name in ("LineString", "LinearRing"):
+        return linestring(_child_coords(el))
+    if name == "Polygon":
+        shell = None
+        holes = []
+        for ch in el:
+            cname = _local(ch.tag)
+            ring = None
+            for ring_el in ch:
+                if _local(ring_el.tag) == "LinearRing":
+                    ring = _child_coords(ring_el)
+            if ring is None:
+                continue
+            if cname in ("outerBoundaryIs", "exterior"):
+                shell = ring
+            elif cname in ("innerBoundaryIs", "interior"):
+                holes.append(ring)
+        return polygon(shell if shell is not None else np.empty((0, 2)), holes)
+    multi_types = {
+        "MultiPoint": MULTIPOINT,
+        "MultiLineString": MULTILINESTRING,
+        "MultiCurve": MULTILINESTRING,
+        "MultiPolygon": MULTIPOLYGON,
+        "MultiSurface": MULTIPOLYGON,
+        "MultiGeometry": GEOMETRYCOLLECTION,
+        "GeometryCollection": GEOMETRYCOLLECTION,
+    }
+    if name in multi_types:
+        parts = []
+        for ch in el:
+            if _local(ch.tag) in _MEMBER_TAGS:
+                for sub in ch:
+                    parts.append(_parse_element(sub))
+            elif _local(ch.tag) in (
+                "Point", "LineString", "Polygon", "MultiGeometry",
+            ):
+                # KML MultiGeometry nests children directly, no member tag
+                parts.append(_parse_element(ch))
+        gtype = multi_types[name]
+        if gtype == GEOMETRYCOLLECTION and name == "MultiGeometry" and parts:
+            # KML has ONE multi container; narrow homogeneous contents to
+            # the specific multi type so write→read round-trips type-stably
+            narrow = {POINT: MULTIPOINT, LINESTRING: MULTILINESTRING,
+                      POLYGON: MULTIPOLYGON}
+            kinds = {p.gtype for p in parts}
+            if len(kinds) == 1 and next(iter(kinds)) in narrow:
+                gtype = narrow[next(iter(kinds))]
+        return multi(gtype, parts)
+    raise ValueError(f"unsupported GML/KML element <{name}>")
+
+
+def gml_loads(text: str) -> Geom:
+    """Parse a GML 2/3 geometry fragment (namespace-agnostic)."""
+    return _parse_element(ET.fromstring(text))
+
+
+def kml_loads(text: str) -> Geom:
+    """Parse a KML geometry fragment (same element grammar, coordinates
+    always comma-packed, MultiGeometry for all multis)."""
+    return _parse_element(ET.fromstring(text))
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+def _fmt(v: float) -> str:
+    return repr(float(v)) if v != int(v) else str(int(v))
+
+
+def _coordinates_text(coords: np.ndarray) -> str:
+    return " ".join(f"{_fmt(x)},{_fmt(y)}" for x, y in coords)
+
+
+def _poslist_text(coords: np.ndarray) -> str:
+    return " ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in coords)
+
+
+def _gml_element(g: Geom, version: int) -> str:
+    p = "gml:"
+    if g.gtype == POINT:
+        inner = (
+            f"<{p}coordinates>{_coordinates_text(g.coords)}</{p}coordinates>"
+            if version == 2 else f"<{p}pos>{_poslist_text(g.coords)}</{p}pos>"
+        )
+        return f"<{p}Point>{inner}</{p}Point>"
+    if g.gtype == LINESTRING:
+        inner = (
+            f"<{p}coordinates>{_coordinates_text(g.coords)}</{p}coordinates>"
+            if version == 2
+            else f"<{p}posList>{_poslist_text(g.coords)}</{p}posList>"
+        )
+        return f"<{p}LineString>{inner}</{p}LineString>"
+    if g.gtype == POLYGON:
+        outer_tag = "outerBoundaryIs" if version == 2 else "exterior"
+        inner_tag = "innerBoundaryIs" if version == 2 else "interior"
+
+        def ring(r):
+            inner = (
+                f"<{p}coordinates>{_coordinates_text(r)}</{p}coordinates>"
+                if version == 2
+                else f"<{p}posList>{_poslist_text(r)}</{p}posList>"
+            )
+            return f"<{p}LinearRing>{inner}</{p}LinearRing>"
+
+        parts = [f"<{p}{outer_tag}>{ring(g.rings[0])}</{p}{outer_tag}>"]
+        for h in g.rings[1:]:
+            parts.append(f"<{p}{inner_tag}>{ring(h)}</{p}{inner_tag}>")
+        return f"<{p}Polygon>{''.join(parts)}</{p}Polygon>"
+    multis = {
+        MULTIPOINT: ("MultiPoint", "pointMember"),
+        MULTILINESTRING: ("MultiLineString", "lineStringMember"),
+        MULTIPOLYGON: ("MultiPolygon", "polygonMember"),
+        GEOMETRYCOLLECTION: ("MultiGeometry", "geometryMember"),
+    }
+    name, member = multis[g.gtype]
+    body = "".join(
+        f"<{p}{member}>{_gml_element(part, version)}</{p}{member}>"
+        for part in g.parts
+    )
+    return f"<{p}{name}>{body}</{p}{name}>"
+
+
+def gml_dumps(g: Geom, version: int = 2) -> str:
+    """Serialize to a GML fragment; version 2 uses coordinates /
+    outerBoundaryIs, version 3 uses pos/posList/exterior (the two writers
+    of the reference)."""
+    body = _gml_element(g, version)
+    # inject the namespace on the outermost element
+    i = body.index(">")
+    tail = body[i:]
+    head = body[:i]
+    return f'{head} xmlns:gml="{GML_NS}"{tail}'
+
+
+def _kml_element(g: Geom) -> str:
+    if g.gtype == POINT or g.gtype == LINESTRING:
+        name = "Point" if g.gtype == POINT else "LineString"
+        return (
+            f"<{name}><coordinates>{_coordinates_text(g.coords)}"
+            f"</coordinates></{name}>"
+        )
+    if g.gtype == POLYGON:
+        parts = [
+            "<outerBoundaryIs><LinearRing><coordinates>"
+            + _coordinates_text(g.rings[0])
+            + "</coordinates></LinearRing></outerBoundaryIs>"
+        ]
+        for h in g.rings[1:]:
+            parts.append(
+                "<innerBoundaryIs><LinearRing><coordinates>"
+                + _coordinates_text(h)
+                + "</coordinates></LinearRing></innerBoundaryIs>"
+            )
+        return f"<Polygon>{''.join(parts)}</Polygon>"
+    body = "".join(_kml_element(part) for part in g.parts)
+    return f"<MultiGeometry>{body}</MultiGeometry>"
+
+
+def kml_dumps(g: Geom) -> str:
+    return _kml_element(g)

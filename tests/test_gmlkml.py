@@ -1,0 +1,102 @@
+"""GML 2/3 + KML codec gates: element-grammar cases mirroring the
+reference reader tests (GMLReaderTest.cs: GML3 aliases MultiCurve /
+MultiSurface, pos/posList forms, member tags) and round-trip properties
+through both writers."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from nettopologysuite_spark.kernels.geom import wkt_dumps, wkt_loads  # noqa: E402
+from nettopologysuite_spark.kernels.gmlkml import (  # noqa: E402
+    gml_dumps,
+    gml_loads,
+    kml_dumps,
+    kml_loads,
+)
+from nettopologysuite_spark.kernels.normalize import equals_normalized  # noqa: E402
+
+WKTS = [
+    "POINT (10 20)",
+    "LINESTRING (0 0, 5 5, 10 0)",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+    "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+    "MULTIPOINT ((1 1), (2 3))",
+    "MULTILINESTRING ((0 0, 1 1), (2 2, 3 4, 5 5))",
+    "MULTIPOLYGON (((0 0, 5 0, 5 5, 0 5, 0 0)), ((6 6, 9 6, 9 9, 6 9, 6 6)))",
+    "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 2 2))",
+]
+
+
+@pytest.mark.parametrize("wkt", WKTS)
+@pytest.mark.parametrize("version", [2, 3])
+def test_gml_round_trip(wkt, version):
+    g = wkt_loads(wkt)
+    back = gml_loads(gml_dumps(g, version=version))
+    assert equals_normalized(back, g), (wkt, version, wkt_dumps(back))
+
+
+@pytest.mark.parametrize("wkt", WKTS)
+def test_kml_round_trip(wkt):
+    g = wkt_loads(wkt)
+    back = kml_loads(kml_dumps(g))
+    assert equals_normalized(back, g), (wkt, wkt_dumps(back))
+
+
+def test_gml3_aliases_and_forms():
+    """MultiSurface/surfaceMember and MultiCurve/curveMember parse as
+    MultiPolygon/MultiLineString; posList + exterior/interior accepted;
+    3-D coordinates tuples accepted (Z dropped — 2-D engine model)."""
+    ms = gml_loads(
+        '<gml:MultiSurface xmlns:gml="http://www.opengis.net/gml">'
+        "<gml:surfaceMember><gml:Polygon><gml:exterior><gml:LinearRing>"
+        "<gml:posList>0 0 8 0 8 8 0 8 0 0</gml:posList>"
+        "</gml:LinearRing></gml:exterior>"
+        "<gml:interior><gml:LinearRing>"
+        "<gml:posList>2 2 3 2 3 3 2 3 2 2</gml:posList>"
+        "</gml:LinearRing></gml:interior></gml:Polygon></gml:surfaceMember>"
+        "</gml:MultiSurface>"
+    )
+    expect = wkt_loads(
+        "MULTIPOLYGON (((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2)))"
+    )
+    assert equals_normalized(ms, expect)
+
+    mc = gml_loads(
+        '<gml:MultiCurve xmlns:gml="http://www.opengis.net/gml">'
+        "<gml:curveMember><gml:LineString>"
+        "<gml:posList>1 1 4 4 1 7</gml:posList></gml:LineString>"
+        "</gml:curveMember><gml:curveMember><gml:LineString>"
+        "<gml:posList>9 9 8 8</gml:posList></gml:LineString>"
+        "</gml:curveMember></gml:MultiCurve>"
+    )
+    assert equals_normalized(
+        mc, wkt_loads("MULTILINESTRING ((1 1, 4 4, 1 7), (9 9, 8 8))")
+    )
+
+    z = gml_loads(
+        '<gml:Point xmlns:gml="http://www.opengis.net/gml">'
+        "<gml:coordinates>5,6,7</gml:coordinates></gml:Point>"
+    )
+    assert equals_normalized(z, wkt_loads("POINT (5 6)"))
+
+    dim3 = gml_loads(
+        '<gml:LineString xmlns:gml="http://www.opengis.net/gml">'
+        '<gml:posList srsDimension="3">0 0 9 1 1 9</gml:posList>'
+        "</gml:LineString>"
+    )
+    assert equals_normalized(dim3, wkt_loads("LINESTRING (0 0, 1 1)"))
+
+
+def test_kml_multigeometry_direct_children():
+    g = kml_loads(
+        "<MultiGeometry><Point><coordinates>1,2</coordinates></Point>"
+        "<LineString><coordinates>0,0 3,3</coordinates></LineString>"
+        "</MultiGeometry>"
+    )
+    assert equals_normalized(
+        g, wkt_loads("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 3 3))")
+    )

@@ -117,3 +117,22 @@ def test_st_precision_and_construct_tails(spark):
     assert row["cu"] == 100.0
     assert row["ph"] >= 100.0  # outer hull contains the input
     assert row["ip"] == "POINT (2 2)"
+
+
+def test_st_gml_kml_sql(spark):
+    from nettopologysuite_spark.functions.st_funcs import register_all
+
+    register_all(spark)
+    row = spark.sql(
+        """
+        SELECT
+          ST_AsText(ST_GeomFromGML(ST_AsGML(
+            ST_GeomFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')))) AS gml_rt,
+          ST_AsText(ST_GeomFromKML(ST_AsKML(
+            ST_GeomFromText('MULTIPOINT ((1 1), (2 2))')))) AS kml_rt,
+          ST_AsGML(ST_GeomFromText('POINT (3 4)')) AS gml_txt
+        """
+    ).collect()[0]
+    assert row["gml_rt"] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert row["kml_rt"] == "MULTIPOINT ((1 1), (2 2))"
+    assert "gml:Point" in row["gml_txt"] and "3,4" in row["gml_txt"]
