@@ -768,7 +768,14 @@ def choose_grid(
                 ).alias("_span")
             )
         )
-    row = spans[0].unionByName(spans[1]).agg(F.avg("_span")).first()
+    row = (
+        spans[0].unionByName(spans[1])
+        # empty geometries yield NaN envelopes; NaN would poison avg AND
+        # slip past the <=0 guard below (NaN compares false), crashing log2
+        .filter(~F.isnan("_span"))
+        .agg(F.avg("_span"))
+        .first()
+    )
     span = row[0] or 0.0
     minx, miny, maxx, maxy = extent
     width = max(maxx - minx, maxy - miny)

@@ -27,6 +27,7 @@ from .geom import (
     POINT,
     POLYGON,
     Geom,
+    _fmt_num,
     linestring,
     multi,
     point,
@@ -65,9 +66,13 @@ def _child_coords(el: ET.Element) -> np.ndarray:
         if name == "coordinates":
             return _coords_from_coordinates(ch.text)
         if name == "pos":
-            return _coords_from_poslist(ch.text)
+            # a pos is ONE tuple; its dimension is its ordinate count
+            vals = (ch.text or "").split()
+            return _coords_from_poslist(ch.text, max(len(vals), 2))
         if name == "posList":
-            dim = int(ch.get("srsDimension", "2"))
+            # srsDimension may sit on the posList or the geometry element
+            dim = int(ch.get("srsDimension")
+                      or el.get("srsDimension") or "2")
             return _coords_from_poslist(ch.text, dim)
     return np.empty((0, 2))
 
@@ -79,10 +84,12 @@ _MEMBER_TAGS = {
 }
 
 
-def _parse_element(el: ET.Element) -> Geom:
+def _parse_element(el: ET.Element, kml: bool = False) -> Geom:
     name = _local(el.tag)
     if name == "Point":
         c = _child_coords(el)
+        if len(c) == 0:
+            return Geom(POINT, coords=np.empty((0, 2)))
         return point(float(c[0, 0]), float(c[0, 1]))
     if name in ("LineString", "LinearRing"):
         return linestring(_child_coords(el))
@@ -101,7 +108,9 @@ def _parse_element(el: ET.Element) -> Geom:
                 shell = ring
             elif cname in ("innerBoundaryIs", "interior"):
                 holes.append(ring)
-        return polygon(shell if shell is not None else np.empty((0, 2)), holes)
+        if shell is None or len(shell) == 0:
+            return Geom(POLYGON, rings=[])
+        return polygon(shell, holes)
     multi_types = {
         "MultiPoint": MULTIPOINT,
         "MultiLineString": MULTILINESTRING,
@@ -116,16 +125,18 @@ def _parse_element(el: ET.Element) -> Geom:
         for ch in el:
             if _local(ch.tag) in _MEMBER_TAGS:
                 for sub in ch:
-                    parts.append(_parse_element(sub))
+                    parts.append(_parse_element(sub, kml))
             elif _local(ch.tag) in (
                 "Point", "LineString", "Polygon", "MultiGeometry",
             ):
                 # KML MultiGeometry nests children directly, no member tag
-                parts.append(_parse_element(ch))
+                parts.append(_parse_element(ch, kml))
         gtype = multi_types[name]
-        if gtype == GEOMETRYCOLLECTION and name == "MultiGeometry" and parts:
+        if kml and gtype == GEOMETRYCOLLECTION and parts:
             # KML has ONE multi container; narrow homogeneous contents to
-            # the specific multi type so write→read round-trips type-stably
+            # the specific multi type so write→read round-trips type-stably.
+            # GML reads never narrow — gml:MultiGeometry is GML2's
+            # GeometryCollection and must round-trip type-exactly.
             narrow = {POINT: MULTIPOINT, LINESTRING: MULTILINESTRING,
                       POLYGON: MULTIPOLYGON}
             kinds = {p.gtype for p in parts}
@@ -142,42 +153,46 @@ def gml_loads(text: str) -> Geom:
 
 def kml_loads(text: str) -> Geom:
     """Parse a KML geometry fragment (same element grammar, coordinates
-    always comma-packed, MultiGeometry for all multis)."""
-    return _parse_element(ET.fromstring(text))
+    always comma-packed, MultiGeometry for all multis — homogeneous
+    contents narrow to the matching Multi type)."""
+    return _parse_element(ET.fromstring(text), kml=True)
 
 
 # ---------------------------------------------------------------------------
 # writers
 # ---------------------------------------------------------------------------
 
-def _fmt(v: float) -> str:
-    return repr(float(v)) if v != int(v) else str(int(v))
-
-
 def _coordinates_text(coords: np.ndarray) -> str:
-    return " ".join(f"{_fmt(x)},{_fmt(y)}" for x, y in coords)
+    return " ".join(f"{_fmt_num(x)},{_fmt_num(y)}" for x, y in coords)
 
 
 def _poslist_text(coords: np.ndarray) -> str:
-    return " ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in coords)
+    return " ".join(f"{_fmt_num(x)} {_fmt_num(y)}" for x, y in coords)
+
+
+def _coords_of(g: Geom) -> np.ndarray:
+    return g.coords if g.coords is not None else np.empty((0, 2))
 
 
 def _gml_element(g: Geom, version: int) -> str:
     p = "gml:"
     if g.gtype == POINT:
         inner = (
-            f"<{p}coordinates>{_coordinates_text(g.coords)}</{p}coordinates>"
-            if version == 2 else f"<{p}pos>{_poslist_text(g.coords)}</{p}pos>"
+            f"<{p}coordinates>{_coordinates_text(_coords_of(g))}</{p}coordinates>"
+            if version == 2
+            else f"<{p}pos>{_poslist_text(_coords_of(g))}</{p}pos>"
         )
         return f"<{p}Point>{inner}</{p}Point>"
     if g.gtype == LINESTRING:
         inner = (
-            f"<{p}coordinates>{_coordinates_text(g.coords)}</{p}coordinates>"
+            f"<{p}coordinates>{_coordinates_text(_coords_of(g))}</{p}coordinates>"
             if version == 2
-            else f"<{p}posList>{_poslist_text(g.coords)}</{p}posList>"
+            else f"<{p}posList>{_poslist_text(_coords_of(g))}</{p}posList>"
         )
         return f"<{p}LineString>{inner}</{p}LineString>"
     if g.gtype == POLYGON:
+        if not g.rings:
+            return f"<{p}Polygon></{p}Polygon>"
         outer_tag = "outerBoundaryIs" if version == 2 else "exterior"
         inner_tag = "innerBoundaryIs" if version == 2 else "interior"
 
@@ -223,10 +238,12 @@ def _kml_element(g: Geom) -> str:
     if g.gtype == POINT or g.gtype == LINESTRING:
         name = "Point" if g.gtype == POINT else "LineString"
         return (
-            f"<{name}><coordinates>{_coordinates_text(g.coords)}"
+            f"<{name}><coordinates>{_coordinates_text(_coords_of(g))}"
             f"</coordinates></{name}>"
         )
     if g.gtype == POLYGON:
+        if not g.rings:
+            return "<Polygon></Polygon>"
         parts = [
             "<outerBoundaryIs><LinearRing><coordinates>"
             + _coordinates_text(g.rings[0])

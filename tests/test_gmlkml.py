@@ -100,3 +100,41 @@ def test_kml_multigeometry_direct_children():
     assert equals_normalized(
         g, wkt_loads("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 3 3))")
     )
+
+
+def test_empty_geometries_round_trip():
+    """Writers emit empties its own readers parse back (reproduced review
+    crashes: POLYGON EMPTY writer IndexError, POINT EMPTY reader
+    IndexError)."""
+    for wkt in ("POINT EMPTY", "LINESTRING EMPTY", "POLYGON EMPTY"):
+        g = wkt_loads(wkt)
+        for version in (2, 3):
+            back = gml_loads(gml_dumps(g, version=version))
+            assert back.is_empty and back.gtype == g.gtype, (wkt, version)
+        back = kml_loads(kml_dumps(g))
+        assert back.is_empty and back.gtype == g.gtype, wkt
+
+
+def test_gml3_pos_with_z_and_gc_type_stability():
+    """A 3-D gml:pos parses (Z dropped), srsDimension on the geometry
+    element is honoured, and a homogeneous GEOMETRYCOLLECTION keeps its
+    type through a GML round-trip (narrowing is KML-only)."""
+    z = gml_loads(
+        '<gml:Point xmlns:gml="http://www.opengis.net/gml">'
+        "<gml:pos>5 6 7</gml:pos></gml:Point>"
+    )
+    assert equals_normalized(z, wkt_loads("POINT (5 6)"))
+
+    parent_dim = gml_loads(
+        '<gml:LineString xmlns:gml="http://www.opengis.net/gml" '
+        'srsDimension="3"><gml:posList>0 0 9 1 1 9</gml:posList>'
+        "</gml:LineString>"
+    )
+    assert equals_normalized(parent_dim, wkt_loads("LINESTRING (0 0, 1 1)"))
+
+    gc = wkt_loads("GEOMETRYCOLLECTION (POINT (1 2), POINT (3 4))")
+    back = gml_loads(gml_dumps(gc))
+    assert back.gtype == gc.gtype  # NOT narrowed to MULTIPOINT
+    # while the KML path narrows by design (one container in the format)
+    from nettopologysuite_spark.kernels.geom import MULTIPOINT
+    assert kml_loads(kml_dumps(gc)).gtype == MULTIPOINT
