@@ -128,8 +128,11 @@ def _parse_element(el: ET.Element, kml: bool = False) -> Geom:
                     parts.append(_parse_element(sub, kml))
             elif _local(ch.tag) in (
                 "Point", "LineString", "Polygon", "MultiGeometry",
+                "MultiPoint", "MultiLineString", "MultiCurve",
+                "MultiPolygon", "MultiSurface", "GeometryCollection",
             ):
-                # KML MultiGeometry nests children directly, no member tag
+                # KML MultiGeometry — and the reference's GML test data —
+                # nest children directly, without member tags
                 parts.append(_parse_element(ch, kml))
         gtype = multi_types[name]
         if kml and gtype == GEOMETRYCOLLECTION and parts:

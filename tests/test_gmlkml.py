@@ -138,3 +138,39 @@ def test_gml3_pos_with_z_and_gc_type_stability():
     # while the KML path narrows by design (one container in the format)
     from nettopologysuite_spark.kernels.geom import MULTIPOINT
     assert kml_loads(kml_dumps(gc)).gtype == MULTIPOINT
+
+
+REF_GML_DATA = Path(
+    "/root/reference/test/NetTopologySuite.Tests.NUnit/TestData"
+)
+
+
+@pytest.mark.parametrize(
+    "fname,gtype_name",
+    [
+        ("points.xml", "POINT"),
+        ("linestrings.xml", "LINESTRING"),
+        ("polygons.xml", "POLYGON"),
+        ("multipoints.xml", "MULTIPOINT"),
+        ("multilinestrings.xml", "MULTILINESTRING"),
+        ("multipolygons.xml", "MULTIPOLYGON"),
+    ],
+)
+def test_reference_gml_corpus(fname, gtype_name):
+    """The reference GMLReaderTest's own data files (TestData/*.xml): a
+    MultiGeometry of N geometries, every element of the expected type;
+    every non-empty element round-trips through our GML writer."""
+    from nettopologysuite_spark.kernels import geom as G
+
+    path = REF_GML_DATA / fname
+    if not path.exists():
+        pytest.skip("reference test data not present")
+    gc = gml_loads(path.read_text())
+    assert gc.gtype == G.GEOMETRYCOLLECTION
+    assert len(gc.parts) > 0
+    want = getattr(G, gtype_name)
+    for part in gc.parts:
+        assert part.gtype == want, (fname, part.gtype)
+        if not part.is_empty:
+            back = gml_loads(gml_dumps(part))
+            assert equals_normalized(back, part), fname
