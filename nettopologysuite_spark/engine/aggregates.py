@@ -24,13 +24,20 @@ def distributed_union(df: DataFrame, wkb_col: str = "geom_wkb",
         -> DataFrame:
     """One-row DataFrame (union_wkb binary) = union of all input geometries.
 
-    The final reduction is STAGED (pairwise tree rounds, fan-in ``fanin``):
-    partials hash into ``ceil(n_partials / fanin)`` groups, each group unions
-    in parallel, and rounds repeat until one row remains — the true
-    CascadedPolygonUnion tree shape (``Operation/Union/CascadedPolygonUnion
-    .cs:162-174``). A single-task final reduce is fine to ~10⁴ partials but
-    becomes the straggler beyond; the tree bounds every task to ``fanin``
-    unions.
+    The final reduction is ADAPTIVE: when the (estimated) partial count is
+    ≤ ``fanin`` the final union runs as ONE ``coalesce(1)`` task — no
+    shuffle rounds, the cheap path at every scale where one partial per
+    input partition fits a task. Beyond that it runs STAGED pairwise tree
+    rounds (fan-in ``fanin``) until ≤ ``fanin`` rows remain, then the same
+    single-task final — the true CascadedPolygonUnion tree shape
+    (``Operation/Union/CascadedPolygonUnion.cs:162-174``). A single-task
+    reduce is fine to ~10⁴ partials but becomes the straggler beyond; the
+    tree bounds every task to ``fanin`` unions.
+
+    ``reduce_partitions`` overrides the partial-count estimate (default:
+    the session's ``defaultParallelism`` — mapInPandas emits ≤ 1 row per
+    input partition, and local/cluster partition counts track core count
+    for parquet scans; no ``.rdd`` materialization, no job).
     """
 
     def partial(batches):
@@ -41,20 +48,29 @@ def distributed_union(df: DataFrame, wkb_col: str = "geom_wkb",
             yield pd.DataFrame({"w": [wkb_dumps(cascaded_union(geoms))]})
 
     partials = df.select(wkb_col).mapInPandas(partial, "w binary")
-    n = df.rdd.getNumPartitions() if reduce_partitions is None else reduce_partitions
+    n = (df.sparkSession.sparkContext.defaultParallelism
+         if reduce_partitions is None else reduce_partitions)
 
     def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         geoms = [wkb_loads(bytes(b)) for b in pdf["w"]]
         return pd.DataFrame({"w": [wkb_dumps(cascaded_union(geoms))]})
 
     level = 0
-    while n > 1:
+    while n > fanin:
         n = -(-n // fanin)
         key = F.pmod(F.xxhash64(F.col("w"), F.lit(level)), F.lit(n)).alias("g")
         partials = partials.groupBy(key).applyInPandas(reduce_group, "w binary")
         level += 1
 
-    return partials.select(F.col("w").alias("union_wkb"))
+    def final(batches):
+        geoms = []
+        for pdf in batches:
+            geoms.extend(wkb_loads(bytes(b)) for b in pdf["w"])
+        if geoms:
+            yield pd.DataFrame({"w": [wkb_dumps(cascaded_union(geoms))]})
+
+    return (partials.coalesce(1).mapInPandas(final, "w binary")
+            .select(F.col("w").alias("union_wkb")))
 
 
 def distributed_convex_hull(df: DataFrame, x: str = "x", y: str = "y") -> DataFrame:

@@ -202,6 +202,7 @@ def minhash_lsh_pairs(
     threshold_pct: int = 80,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash over word-bigram shingles + banded
     LSH, verified exactly.
@@ -259,11 +260,31 @@ def minhash_lsh_pairs(
                       for bi in range(bands)])
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.sig")
+    # Candidate pairs by IN-BUCKET generation: groupBy (band, sig) +
+    # collect_list + a native pair-combination explode — ONE shuffle of the
+    # bucket table, where the former bucket self-join shuffled it twice and
+    # paid a join. A/B at sf0.1 (5 interleaved reps, min-of, steal-spiked
+    # host): in-bucket 3.8 s vs self-join 6.5 s; settled-host medians 5.2 s
+    # vs 8.3 s (BENCH/NOTES.md). Output pair set is identical. At 100 TB a
+    # pathological hot bucket (near-identical shards) buffers its id list
+    # in one task: ``max_bucket`` drops buckets above the cap — such
+    # buckets are duplicate cliques already caught in their other bands.
+    bl = buckets.groupBy("band", "sig").agg(
+        F.sort_array(F.collect_list("_id")).alias("ids")
+    ).where(F.size("ids") > 1)
+    if max_bucket is not None:
+        bl = bl.where(F.size("ids") <= max_bucket)
     cand = (
-        buckets.alias("l")
-        .join(buckets.alias("r"), ["band", "sig"])
-        .where(F.col("l._id") < F.col("r._id"))
-        .select(F.col("l._id").alias("d1"), F.col("r._id").alias("d2"))
+        bl.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x as d1, y as d2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.d1", "p.d2")
         .distinct()
     )
     verified = _jaccard_counts(grams, cand, method="sets")  # materializes, then releases caches
