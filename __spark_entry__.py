@@ -285,6 +285,28 @@ def q_poly_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pid", "poly_id")
 
 
+def q_poly_poly_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big CONTAINMENT join: nation octagons (left/container) contains
+    event rectangles (right) — same native cell equi-join machinery, refine
+    through the vectorized batch-covers kernel (each octagon prepared once
+    per Arrow batch, rect batch decoded via the uniform-WKB fast path;
+    zero per-pair Python — plan-gated like poly_poly_join)."""
+    from nettopologysuite_spark.engine.joins import spatial_join_bigbig
+    from nettopologysuite_spark.kernels.geom import wkb_dumps
+
+    rects = _event_rects(spark, sf_dir)
+    keys = _nation_keys(spark, sf_dir)
+    octs = spark.createDataFrame(
+        [(f"oct-{k}", wkb_dumps(nation_octagon_geom(k))) for k in keys],
+        "poly_id string, oct_wkb binary",
+    )
+    out = spatial_join_bigbig(
+        octs, rects, Grid(0.0, 0.0, 100.0, 100.0, level=5), "contains",
+        left_id="poly_id", right_id="pid", left_wkb="oct_wkb", right_wkb="geom_wkb",
+    )
+    return out.select("pid", "poly_id")
+
+
 def q_geo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coordinate-level near-dup removal: grid-snap clustering (cell 0.5) —
     the distributed form of KdTree snap-tolerance insertion
@@ -598,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pip_join": q_docs_pip_join,
         "docs_mixed_join": q_docs_mixed_join,
         "poly_poly_join": q_poly_poly_join,
+        "poly_poly_contains": q_poly_poly_contains,
         "media_stats": q_media_stats,
         "media_dedup": q_media_dedup,
         "geo_dedup": q_geo_dedup,
@@ -877,6 +900,13 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {_PTS} p0) p CROSS JOIN nation n "
             f"WHERE "
             + derive.rect_octagon_sql_pred("p.x", "p.y", "p.w", "p.h", "n.n_nationkey")
+        ),
+        "poly_poly_contains": (
+            f"SELECT p.pid, 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
+            f"FROM (SELECT pid, x, y, (1 + pid % 3) AS w, (1 + pid % 2) AS h "
+            f"FROM {_PTS} p0) p CROSS JOIN nation n "
+            f"WHERE "
+            + derive.rect_in_octagon_sql_pred("p.x", "p.y", "p.w", "p.h", "n.n_nationkey")
         ),
         "dedup_exact": (
             "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups "

@@ -172,6 +172,36 @@ def rect_octagon_sql_pred(x: str, y: str, w: str, h: str, nk: str) -> str:
     return "(" + " AND ".join(conds) + ")"
 
 
+def rect_in_octagon_sql_pred(x: str, y: str, w: str, h: str, nk: str) -> str:
+    """SQL predicate: nation {nk}'s octagon CONTAINS the axis-aligned rect
+    (center ({x},{y}), half-extents {w},{h}).
+
+    All four rect corners inside every closed half-plane of the convex
+    octagon — per CCW edge (direction (dx,dy), inside = cross ≥ 0) the
+    corner minimizing the cross product shifts it by exactly
+    s·(|dx|·h + |dy|·w), so the containment test is one inequality per
+    edge. For a positive-area rect inside a convex polygon with no
+    axis-aligned edges this is equivalent to OGC contains (the rect cannot
+    embed in the boundary), and the arithmetic is exact in double
+    (coordinates ≤27 significand bits, integer multipliers ≤8), so
+    Spark's kernel and DuckDB agree bit-for-bit including touch cases."""
+    cx = f"(10 + ({nk} % 5) * 20)"
+    cy = f"(10 + (CAST(FLOOR({nk} / 5) AS BIGINT)) * 20)"
+    s = f"(1 + ({nk} % 2))"
+    terms = []
+    n = len(OCTAGON)
+    for i in range(n):
+        x1, y1 = OCTAGON[i]
+        x2, y2 = OCTAGON[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1
+        terms.append(
+            f"(({s} * {dx}) * ({y} - {cy} - {s} * {y1}) - "
+            f"({s} * {dy}) * ({x} - {cx} - {s} * {x1}) >= "
+            f"{s} * ({abs(dx)} * {h} + {abs(dy)} * {w}))"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
 _OCT_NORMALS = [(3, 1), (1, 3), (1, -3), (3, -1)]  # edge normals of OCTAGON
 
 

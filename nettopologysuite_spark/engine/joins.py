@@ -556,15 +556,23 @@ def _ref_cell_col(grid: Grid, rx, ry):
 
 
 def _batched_pair_eval(pack: PolygonPack, predicate: str):
-    """Boolean pandas UDF (wkb, poly_id) → predicate(geom, poly), batched:
-    WKB parsed once per row, point-typed rows evaluated via the vectorized
-    prepared-PIP kernel per poly group, extended rows via the vectorized
-    batch-intersects kernel (whole-array PIP/parity/segment passes); only
-    non-intersects extended pairs fall back to the per-pair relate kernel.
+    """Boolean pandas UDF (wkb, poly_id) → predicate(poly, geom) — the pack
+    polygon is the CONTAINER argument, matching ``pip_refine_udf``'s
+    "predicate(poly, point)" convention — batched: WKB parsed once per row,
+    point-typed rows evaluated via the vectorized prepared-PIP kernel per
+    poly group, extended rows via the vectorized batch-intersects /
+    batch-covers kernels (whole-array PIP/parity/segment passes); only
+    predicates outside {intersects, covers, contains} fall back to the
+    per-pair relate kernel on extended rows.
     """
-    from ..kernels.batchgeom import GeomBatch, PreparedRight, batch_intersects
+    from ..kernels.batchgeom import (
+        GeomBatch,
+        PreparedRight,
+        batch_covers_rights,
+        batch_intersects,
+    )
     from ..kernels.geom import POINT, wkb_loads
-    from ..kernels.predicates import evaluate_predicate
+    from ..kernels.predicates import _polygon_leaves, evaluate_predicate
 
     @pandas_udf("boolean")
     def _eval(wkb: pd.Series, poly_id: pd.Series) -> pd.Series:
@@ -604,11 +612,23 @@ def _batched_pair_eval(pack: PolygonPack, predicate: str):
                     if ext_gb is None:
                         ext_gb = GeomBatch(geoms_list)
                     out[idx] = batch_intersects(ext_gb, idx, PreparedRight(pg))
+                elif predicate in ("covers", "contains") and _polygon_leaves(pg):
+                    # vectorized covers/contains(pack polygon, row geometry):
+                    # the polygon prepares once per group, the rows' vertices
+                    # and segment midpoints locate through the whole-array
+                    # prepared-PIP passes — no per-pair Python
+                    if ext_gb is None:
+                        ext_gb = GeomBatch(geoms_list)
+                    out[idx] = batch_covers_rights(
+                        ext_gb, idx, PreparedRight(pg),
+                        contains=(predicate == "contains"),
+                        geom_of=lambda k: geoms_list[k],
+                    )
                 else:
                     # general path: full relate kernel per surviving pair
                     for i in idx:
                         if geoms_list[i] is not None:
-                            out[i] = evaluate_predicate(predicate, geoms_list[i], pg)
+                            out[i] = evaluate_predicate(predicate, pg, geoms_list[i])
         return pd.Series(out)
 
     return _eval
@@ -684,13 +704,19 @@ def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
     per-pair DE-9IM relate kernel on the (already envelope- and cell-
     filtered) survivors.
     """
-    from ..kernels.batchgeom import GeomBatch, PreparedRight, batch_intersects
+    from ..kernels.batchgeom import (
+        GeomBatch,
+        PreparedRight,
+        batch_covers_rights,
+        batch_intersects,
+    )
     from ..kernels.geom import wkb_loads
     from ..kernels.predicates import contains as p_contains
     from ..kernels.predicates import covers as p_covers
     from ..kernels.predicates import evaluate_predicate
 
     vector_fast = (not exact_relate) and predicate == "intersects"
+    vector_cover = (not exact_relate) and predicate in ("covers", "contains")
     if exact_relate:
         pair_eval = lambda a, b: evaluate_predicate(predicate, a, b)  # noqa: E731
     else:
@@ -716,6 +742,34 @@ def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
                 sel = rcodes == j
                 pr = PreparedRight(wkb_loads(bytes(blob)))
                 out[sel] = batch_intersects(gb_left, lcodes[sel], pr)
+        elif vector_cover:
+            # covers/contains(left, right): group by LEFT — each left
+            # prepares ONCE (the AbstractPreparedPolygonContains.cs:150-200
+            # role split), rights decode into one columnar batch, and every
+            # group evaluates through the whole-array vertex-coverage /
+            # strict-crossing / midpoint passes. Non-polygonal lefts (which
+            # cover only lower-dimensional rights) keep the scalar kernel.
+            lcodes, luniq = pd.factorize(lwkb.to_numpy(object))
+            gb_right = GeomBatch.from_wkb([bytes(b) for b in runiq])
+            rgeom_cache: dict = {}
+
+            def _rgeom(k: int):
+                g = rgeom_cache.get(k)
+                if g is None:
+                    g = rgeom_cache[k] = wkb_loads(bytes(runiq[k]))
+                return g
+
+            for j, blob in enumerate(luniq):
+                sel = lcodes == j
+                pl = PreparedRight(wkb_loads(bytes(blob)))
+                if pl.preps:
+                    out[sel] = batch_covers_rights(
+                        gb_right, rcodes[sel], pl,
+                        contains=(predicate == "contains"), geom_of=_rgeom,
+                    )
+                else:
+                    for i in np.flatnonzero(sel):
+                        out[i] = pair_eval(pl.geom, _rgeom(int(rcodes[i])))
         else:
             rgeoms = [wkb_loads(bytes(b)) for b in runiq]
             # factorize lefts too: a geometry in m candidate pairs of this

@@ -416,3 +416,265 @@ def batch_intersects(gb: GeomBatch, lefts: np.ndarray, right: Geom | PreparedRig
             res[sub[np.unique(sowner[touch_seg])]] = True
 
     return res
+
+
+# ---------------------------------------------------------------------------
+# vectorized covers / contains (both orientations)
+# ---------------------------------------------------------------------------
+
+def _proper_cross_per_seg(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    """(n_a,) bool: a-segment i properly (strictly) crosses ANY b-segment.
+
+    The strict case of ``Algorithm/RobustLineIntersector.cs`` (all four
+    orientations nonzero with opposite signs) — the only configuration that
+    takes a covered boundary outside the covering geometry. Chunked."""
+    na, nb = len(ax1), len(bx1)
+    out = np.zeros(na, dtype=bool)
+    if na == 0 or nb == 0:
+        return out
+    step = max(1, _SEG_CHUNK // nb)
+    B1x = bx1[None, :]; B1y = by1[None, :]
+    B2x = bx2[None, :]; B2y = by2[None, :]
+    for s in range(0, na, step):
+        sl = slice(s, s + step)
+        A1x = ax1[sl][:, None]; A1y = ay1[sl][:, None]
+        A2x = ax2[sl][:, None]; A2y = ay2[sl][:, None]
+        d1 = (B2x - B1x) * (A1y - B1y) - (B2y - B1y) * (A1x - B1x)
+        d2 = (B2x - B1x) * (A2y - B1y) - (B2y - B1y) * (A2x - B1x)
+        d3 = (A2x - A1x) * (B1y - A1y) - (A2y - A1y) * (B1x - A1x)
+        d4 = (A2x - A1x) * (B2y - A1y) - (A2y - A1y) * (B2x - A1x)
+        proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+            ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+        )
+        out[sl] = proper.any(axis=1)
+    return out
+
+
+def batch_covers_rights(
+    gb: GeomBatch,
+    rights: np.ndarray,
+    left: Geom | PreparedRight,
+    contains: bool = False,
+    geom_of=None,
+) -> np.ndarray:
+    """Vectorized covers(left, gb[i]) — or contains — for every right index
+    in ``rights`` (ONE polygonal left, a batch of rights).
+
+    Pass-for-pass mirror of ``kernels.predicates.covers``/``contains``
+    (vertex coverage + strict-crossing + midpoint probes, the
+    ``Geometries/Prepared/AbstractPreparedPolygonContains.cs:150-200``
+    structure), so results are bit-identical to the scalar kernels:
+
+      covers(a, b)   = all b vertices in/on a's polygonal leaves
+                     ∧ no strict proper crossing (a segs × b segs)
+                     ∧ all b segment midpoints in/on a
+      contains(a, b) = covers ∧ (some b vertex interior ∨ some midpoint
+                       interior ∨ polygonal-b interior-point probe)
+
+    The interior-point residue (covers holds yet every probed point sits ON
+    a's boundary — b's boundary embedded in a's) decodes the few affected
+    rights via ``geom_of(idx)``; it is empty for any pair whose containment
+    is strict anywhere. Requires a polygonal left: callers fall back to the
+    scalar kernel otherwise (a non-polygonal left can cover only
+    lower-dimensional geometry — not this module's batch shape).
+    """
+    from .pip import INTERIOR
+    from .predicates import interior_point
+
+    pl = left if isinstance(left, PreparedRight) else PreparedRight(left)
+    n = len(rights)
+    res = np.zeros(n, dtype=bool)
+    if n == 0 or pl.empty or not pl.preps:
+        return res
+    rights = np.asarray(rights, dtype=np.int64)
+
+    # ---- pass 1: ALL b vertices in/on a (polygonal leaves, scalar
+    #      _points_in_polygonal semantics); empty b → not covered ----------
+    vcnt = gb.v_start[rights + 1] - gb.v_start[rights]
+    ok = vcnt > 0
+    has_int = np.zeros(n, dtype=bool)
+    vidx, vowner = _ranges_concat(gb.v_start[rights], vcnt)
+    if len(vidx):
+        bx = gb.vx[vidx]; by = gb.vy[vidx]
+        cov = np.zeros(len(vidx), dtype=bool)
+        inter = np.zeros(len(vidx), dtype=bool)
+        for prep in pl.preps:
+            loc = prep.locate(bx, by)
+            cov |= loc != EXTERIOR
+            inter |= loc == INTERIOR
+        ok &= np.bincount(vowner[~cov], minlength=n) == 0
+        if contains:
+            has_int |= np.bincount(vowner[inter], minlength=n) > 0
+
+    # ---- pass 2: no strict proper crossing, a segs × b segs -------------
+    scnt = gb.s_start[rights + 1] - gb.s_start[rights]
+    pend = ok & (scnt > 0)
+    if pend.any() and len(pl.rax):
+        sub = np.flatnonzero(pend)
+        sidx, sowner = _ranges_concat(gb.s_start[rights[sub]], scnt[sub])
+        crossed = _proper_cross_per_seg(
+            gb.sax[sidx], gb.say[sidx], gb.sbx[sidx], gb.sby[sidx],
+            pl.rax, pl.ray, pl.rbx, pl.rby,
+        )
+        bad = np.bincount(sowner[crossed], minlength=len(sub)) > 0
+        ok[sub[bad]] = False
+
+    # ---- pass 3: all b segment midpoints in/on a ------------------------
+    pend = ok & (scnt > 0)
+    if pend.any():
+        sub = np.flatnonzero(pend)
+        sidx, sowner = _ranges_concat(gb.s_start[rights[sub]], scnt[sub])
+        mx = (gb.sax[sidx] + gb.sbx[sidx]) * 0.5
+        my = (gb.say[sidx] + gb.sby[sidx]) * 0.5
+        cov = np.zeros(len(sidx), dtype=bool)
+        inter = np.zeros(len(sidx), dtype=bool)
+        for prep in pl.preps:
+            loc = prep.locate(mx, my)
+            cov |= loc != EXTERIOR
+            inter |= loc == INTERIOR
+        bad = np.bincount(sowner[~cov], minlength=len(sub)) > 0
+        ok[sub[bad]] = False
+        if contains:
+            hit = np.bincount(sowner[inter], minlength=len(sub)) > 0
+            has_int[sub[hit]] = True
+
+    if not contains:
+        return ok
+
+    res = ok & has_int
+    # ---- interior-point residue (polygonal b, boundary-only contact) ----
+    pcnt = gb.p_start[rights + 1] - gb.p_start[rights]
+    residue = np.flatnonzero(ok & ~has_int & (pcnt > 0))
+    if len(residue) and geom_of is not None:
+        for k in residue:
+            ip = interior_point(geom_of(int(rights[k])))
+            if ip is None:
+                continue
+            px = np.array([ip[0]]); py = np.array([ip[1]])
+            res[k] = any(
+                prep.locate(px, py)[0] == INTERIOR for prep in pl.preps
+            )
+    return res
+
+
+def batch_covers_right(
+    gb: GeomBatch,
+    lefts: np.ndarray,
+    right: Geom,
+    contains: bool = False,
+) -> np.ndarray:
+    """Vectorized covers(gb[i], right) — or contains — for every left index
+    in ``lefts`` (a batch of lefts, ONE right whose vertex count is small).
+
+    Scalar-kernel mirror with roles flipped: each probe point of the right
+    (vertices, segment midpoints, and — for contains — its interior point,
+    all computed ONCE) is located against every left via per-leaf even-odd
+    parity + on-ring-segment tests over the columnar batch, and the strict
+    proper-crossing pass reuses the same chunked orientation arithmetic.
+    Lefts without polygonal parts report False, exactly like the scalar
+    kernel whenever the right's dimension exceeds theirs — callers must
+    ensure the right is polygonal (the pack-join shape).
+    """
+    from .predicates import interior_point
+
+    n = len(lefts)
+    res = np.zeros(n, dtype=bool)
+    if n == 0 or right.is_empty:
+        return res
+    lefts = np.asarray(lefts, dtype=np.int64)
+    pcnt = gb.p_start[lefts + 1] - gb.p_start[lefts]
+    ok = pcnt > 0  # non-polygonal left cannot cover an areal right
+
+    b_pts = right.all_coords()
+    s1 = np.empty((0, 2)); s2 = np.empty((0, 2))
+    segs_a, segs_b = [], []
+    for leaf in right.flatten():
+        if leaf.gtype == LINESTRING and leaf.coords is not None and len(leaf.coords) >= 2:
+            segs_a.append(leaf.coords[:-1]); segs_b.append(leaf.coords[1:])
+        elif leaf.gtype == POLYGON:
+            for r in leaf.rings:
+                if len(r) >= 2:
+                    segs_a.append(r[:-1]); segs_b.append(r[1:])
+    if segs_a:
+        s1 = np.concatenate(segs_a); s2 = np.concatenate(segs_b)
+    probes = [b_pts]
+    if len(s1):
+        probes.append((s1 + s2) * 0.5)
+    cover_probes = np.concatenate(probes) if probes else np.empty((0, 2))
+    int_probes = cover_probes
+    if contains:
+        ip = interior_point(right) if len(right.all_coords()) else None
+        if ip is not None:
+            int_probes = np.concatenate([cover_probes, np.array([[ip[0], ip[1]]])])
+
+    def _locate_probe(qx: float, qy: float, sub: np.ndarray):
+        """(on_boundary, inside_parity) of one probe point against every
+        left in ``sub`` — whole-array over the batch's ring segments."""
+        ls = lefts[sub]
+        cnt = gb.p_start[ls + 1] - gb.p_start[ls]
+        pidx, powner = _ranges_concat(gb.p_start[ls], cnt)
+        on_b = np.zeros(len(sub), dtype=bool)
+        inside = np.zeros(len(sub), dtype=bool)
+        if not len(pidx):
+            return on_b, inside
+        x1 = gb.pax[pidx]; y1 = gb.pay[pidx]
+        x2 = gb.pbx[pidx]; y2 = gb.pby[pidx]
+        d = (x2 - x1) * (qy - y1) - (y2 - y1) * (qx - x1)
+        on_seg = (
+            (d == 0.0)
+            & (qx >= np.minimum(x1, x2)) & (qx <= np.maximum(x1, x2))
+            & (qy >= np.minimum(y1, y2)) & (qy <= np.maximum(y1, y2))
+        )
+        hit = np.bincount(powner[on_seg], minlength=len(sub)) > 0
+        on_b |= hit
+        # even-odd parity per (owner, leaf), OR-ed across leaves
+        okey = powner * np.int64(gb.p_leaf.max() + 1 if len(gb.p_leaf) else 1) \
+            + gb.p_leaf[pidx]
+        ukey, key_inv = np.unique(okey, return_inverse=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            straddle = (y1 > qy) != (y2 > qy)
+            xint = x1 + (qy - y1) * (x2 - x1) / (y2 - y1)
+            crossed = straddle & (qx < xint)
+        cnt_leaf = np.bincount(key_inv[crossed], minlength=len(ukey))
+        leaf_inside = (cnt_leaf & 1).astype(bool)
+        seg_in = leaf_inside[key_inv]
+        ins = np.bincount(powner[seg_in], minlength=len(sub)) > 0
+        inside |= ins
+        return on_b, inside
+
+    # ---- pass 1 + 3: every cover probe in/on each left ------------------
+    has_int = np.zeros(n, dtype=bool)
+    for qx, qy in cover_probes:
+        sub = np.flatnonzero(ok)
+        if not len(sub):
+            break
+        on_b, inside = _locate_probe(float(qx), float(qy), sub)
+        ok[sub[~(on_b | inside)]] = False
+        if contains:
+            has_int[sub[inside & ~on_b]] = True
+    if contains and len(int_probes) > len(cover_probes):
+        # interior-point probe: only strict-interior credit, no cover demand
+        sub = np.flatnonzero(ok & ~has_int)
+        if len(sub):
+            qx, qy = int_probes[-1]
+            on_b, inside = _locate_probe(float(qx), float(qy), sub)
+            has_int[sub[inside & ~on_b]] = True
+
+    # ---- pass 2: no strict proper crossing (left segs × right segs) -----
+    if len(s1):
+        pend = ok
+        if pend.any():
+            sub = np.flatnonzero(pend)
+            ls = lefts[sub]
+            scnt = gb.s_start[ls + 1] - gb.s_start[ls]
+            sidx, sowner = _ranges_concat(gb.s_start[ls], scnt)
+            if len(sidx):
+                crossed = _proper_cross_per_seg(
+                    gb.sax[sidx], gb.say[sidx], gb.sbx[sidx], gb.sby[sidx],
+                    np.ascontiguousarray(s1[:, 0]), np.ascontiguousarray(s1[:, 1]),
+                    np.ascontiguousarray(s2[:, 0]), np.ascontiguousarray(s2[:, 1]),
+                )
+                bad = np.bincount(sowner[crossed], minlength=len(sub)) > 0
+                ok[sub[bad]] = False
+
+    return (ok & has_int) if contains else ok

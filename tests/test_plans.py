@@ -97,3 +97,16 @@ def test_text_scoring_is_native_single_split(spark, sf_dir):
         plan = _plan(q(spark, sf_dir))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "replace" not in plan.lower().replace("regexp_replace", "")
+
+
+def test_poly_poly_contains_shape(spark, sf_dir):
+    """Containment big×big join: same native candidate machinery as
+    poly_poly_join, refine through the vectorized batch-covers kernel —
+    exactly 3 Python crossings (2 envelope UDFs + 1 vectorized refine),
+    zero per-pair Python."""
+    df = E.q_poly_poly_contains(spark, sf_dir)
+    plan = _plan(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan[:800]
+    assert "FLOOR" in plan
+    assert plan.count("ArrowEvalPython") == 3
+    assert "sequence(greatest(" in plan, plan[:800]

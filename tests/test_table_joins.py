@@ -102,3 +102,26 @@ def test_within_distance_join_table_exact(spark):
         for i in np.flatnonzero(d2 <= rr * rr):
             expect.add((q, int(i)))
     assert got == expect
+
+
+def test_poly_poly_contains_matches_bruteforce(spark, sf_dir):
+    """Big×big containment join vs per-pair scalar contains over the full
+    cross product (no cells, no dedup machinery in the oracle)."""
+    import __spark_entry__ as E
+    from nettopologysuite_spark.engine.derive import nation_octagon_geom
+    from nettopologysuite_spark.kernels.geom import wkb_loads
+    from nettopologysuite_spark.kernels.predicates import contains as p_contains
+
+    got = {(r["pid"], r["poly_id"])
+           for r in E.q_poly_poly_contains(spark, sf_dir).collect()}
+    rects = E._event_rects(spark, sf_dir).collect()
+    octs = {f"oct-{k}": nation_octagon_geom(k)
+            for k in E._nation_keys(spark, sf_dir)}
+    expect = set()
+    for r in rects:
+        g = wkb_loads(bytes(r["geom_wkb"]))
+        for pid, oct_g in octs.items():
+            if p_contains(oct_g, g):
+                expect.add((r["pid"], pid))
+    assert got == expect
+    assert len(got) > 0
