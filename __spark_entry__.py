@@ -307,6 +307,27 @@ def q_poly_poly_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pid", "poly_id")
 
 
+def q_within_dist_join_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-geometry within-distance join: event rectangles within
+    distance 2 of nation octagons (WKB × WKB) — envelope-expanded cover
+    explode, exact codegen envelope-distance prefilter, vectorized
+    facet-distance refine (IndexedFacetDistance.cs analog, batched)."""
+    from nettopologysuite_spark.engine.joins import within_distance_join_geom
+    from nettopologysuite_spark.kernels.geom import wkb_dumps
+
+    rects = _event_rects(spark, sf_dir)
+    keys = _nation_keys(spark, sf_dir)
+    octs = spark.createDataFrame(
+        [(f"oct-{k}", wkb_dumps(nation_octagon_geom(k))) for k in keys],
+        "poly_id string, oct_wkb binary",
+    )
+    out = within_distance_join_geom(
+        rects, octs, Grid(0.0, 0.0, 100.0, 100.0, level=5), dist=2.0,
+        left_id="pid", right_id="poly_id", left_wkb="geom_wkb", right_wkb="oct_wkb",
+    )
+    return out.select("pid", "poly_id")
+
+
 def q_geo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coordinate-level near-dup removal: grid-snap clustering (cell 0.5) —
     the distributed form of KdTree snap-tolerance insertion
@@ -621,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixed_join": q_docs_mixed_join,
         "poly_poly_join": q_poly_poly_join,
         "poly_poly_contains": q_poly_poly_contains,
+        "within_dist_join_geom": q_within_dist_join_geom,
         "media_stats": q_media_stats,
         "media_dedup": q_media_dedup,
         "geo_dedup": q_geo_dedup,
@@ -907,6 +929,14 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {_PTS} p0) p CROSS JOIN nation n "
             f"WHERE "
             + derive.rect_in_octagon_sql_pred("p.x", "p.y", "p.w", "p.h", "n.n_nationkey")
+        ),
+        "within_dist_join_geom": (
+            f"SELECT p.pid, 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
+            f"FROM (SELECT pid, x, y, (1 + pid % 3) AS w, (1 + pid % 2) AS h "
+            f"FROM {_PTS} p0) p CROSS JOIN nation n "
+            f"WHERE "
+            + derive.rect_octagon_withindist_sql_pred(
+                "p.x", "p.y", "p.w", "p.h", "n.n_nationkey", 2)
         ),
         "dedup_exact": (
             "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups "

@@ -202,6 +202,77 @@ def rect_in_octagon_sql_pred(x: str, y: str, w: str, h: str, nk: str) -> str:
     return "(" + " AND ".join(terms) + ")"
 
 
+def rect_octagon_withindist_sql_pred(x: str, y: str, w: str, h: str,
+                                     nk: str, d: int) -> str:
+    """SQL predicate: distance(rect, octagon) ≤ {d} — boundary-inclusive,
+    for the axis-aligned rect (center ({x},{y}), half-extents {w},{h}) and
+    nation {nk}'s octagon.
+
+    Exact decomposition: SAT-intersects (distance 0) ∨ some rect corner
+    within d of an octagon edge (division-free 3-case point-segment form:
+    endpoint / endpoint / cross² ≤ d²·len²) ∨ some octagon vertex within d
+    of a rect edge (same 3-case form, rect segments in WKB ring order).
+    Interior-interior closest pairs cannot occur (no octagon edge is
+    axis-parallel), so the feature sweep is complete. Every subexpression
+    is the same IEEE double tree the ``batch_within_distance`` kernel
+    evaluates — same operands, same order — so Spark and DuckDB agree
+    bit-for-bit including ties."""
+    cx = f"(10 + ({nk} % 5) * 20)"
+    cy = f"(10 + (CAST(FLOOR({nk} / 5) AS BIGINT)) * 20)"
+    s = f"(1 + ({nk} % 2))"
+    d2 = d * d
+    terms = [rect_octagon_sql_pred(x, y, w, h, nk)]
+    n = len(OCTAGON)
+    # rect corners × octagon edges (3-case exact point-segment test)
+    corners = [(f"({x} - {w})", f"({y} - {h})"), (f"({x} + {w})", f"({y} - {h})"),
+               (f"({x} + {w})", f"({y} + {h})"), (f"({x} - {w})", f"({y} + {h})")]
+    for i in range(n):
+        x1t, y1t = OCTAGON[i]
+        x2t, y2t = OCTAGON[(i + 1) % n]
+        ex_t, ey_t = x2t - x1t, y2t - y1t
+        len2_t = ex_t * ex_t + ey_t * ey_t  # template; scales by s²
+        ax = f"({cx} + {s} * {x1t})"
+        ay = f"({cy} + {s} * {y1t})"
+        bx = f"({cx} + {s} * {x2t})"
+        by = f"({cy} + {s} * {y2t})"
+        ex = f"({s} * {ex_t})"
+        ey = f"({s} * {ey_t})"
+        len2 = f"({len2_t} * {s} * {s})"
+        for qx, qy in corners:
+            rx = f"({qx} - {ax})"; ry = f"({qy} - {ay})"
+            sx = f"({qx} - {bx})"; sy = f"({qy} - {by})"
+            dot = f"({rx} * {ex} + {ry} * {ey})"
+            cross = f"({rx} * {ey} - {ry} * {ex})"
+            terms.append(
+                f"(CASE WHEN {dot} <= 0.0 THEN {rx} * {rx} + {ry} * {ry} <= {d2} "
+                f"WHEN {dot} >= {len2} THEN {sx} * {sx} + {sy} * {sy} <= {d2} "
+                f"ELSE {cross} * {cross} <= {d2} * {len2} END)"
+            )
+    # octagon vertices × rect edges (3-case form, WKB ring order/direction:
+    # (x-w,y-h) → (x+w,y-h) → (x+w,y+h) → (x-w,y+h) → close)
+    ring = [(f"({x} - {w})", f"({y} - {h})"), (f"({x} + {w})", f"({y} - {h})"),
+            (f"({x} + {w})", f"({y} + {h})"), (f"({x} - {w})", f"({y} + {h})"),
+            (f"({x} - {w})", f"({y} - {h})")]
+    for tx, ty in OCTAGON:
+        qx = f"({cx} + {s} * {tx})"
+        qy = f"({cy} + {s} * {ty})"
+        for k in range(4):
+            ax, ay = ring[k]
+            bx, by = ring[k + 1]
+            ex = f"({bx} - {ax})"; ey = f"({by} - {ay})"
+            len2 = f"({ex} * {ex} + {ey} * {ey})"
+            rx = f"({qx} - {ax})"; ry = f"({qy} - {ay})"
+            sx = f"({qx} - {bx})"; sy = f"({qy} - {by})"
+            dot = f"({rx} * {ex} + {ry} * {ey})"
+            cross = f"({rx} * {ey} - {ry} * {ex})"
+            terms.append(
+                f"(CASE WHEN {dot} <= 0.0 THEN {rx} * {rx} + {ry} * {ry} <= {d2} "
+                f"WHEN {dot} >= {len2} THEN {sx} * {sx} + {sy} * {sy} <= {d2} "
+                f"ELSE {cross} * {cross} <= {d2} * {len2} END)"
+            )
+    return "(" + " OR ".join(terms) + ")"
+
+
 _OCT_NORMALS = [(3, 1), (1, 3), (1, -3), (3, -1)]  # edge normals of OCTAGON
 
 

@@ -923,3 +923,120 @@ def spatial_join_bigbig(
         pair_refine_udf(predicate, exact_relate)(F.col(left_wkb), F.col(right_wkb))
     )
     return refined.select(left_id, right_id, "cell_id")
+
+
+def within_distance_refine_udf(dist: float):
+    """Boolean pandas UDF (left_wkb, right_wkb) → distance(left, right) ≤ d.
+
+    Rights factorize to uniques (each prepared once), lefts decode into one
+    columnar ``GeomBatch``; each right group evaluates through
+    ``batch_within_distance`` — the batched analog of
+    ``Operation/Distance/IndexedFacetDistance.cs`` (facet tree → whole-array
+    vertex/facet passes, intersects short-circuit first). No per-pair
+    Python."""
+    from ..kernels.batchgeom import (
+        GeomBatch,
+        PreparedRight,
+        batch_within_distance,
+    )
+    from ..kernels.geom import wkb_loads
+
+    @pandas_udf("boolean")
+    def _refine(lwkb: pd.Series, rwkb: pd.Series) -> pd.Series:
+        n = len(lwkb)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return pd.Series(out)
+        rcodes, runiq = pd.factorize(rwkb.to_numpy(object))
+        lcodes, luniq = pd.factorize(lwkb.to_numpy(object))
+        gb_left = GeomBatch.from_wkb([bytes(b) for b in luniq])
+        for j, blob in enumerate(runiq):
+            sel = rcodes == j
+            pr = PreparedRight(wkb_loads(bytes(blob)))
+            out[sel] = batch_within_distance(gb_left, lcodes[sel], pr, dist)
+        return pd.Series(out)
+
+    return _refine
+
+
+def within_distance_join_geom(
+    left: DataFrame,
+    right: DataFrame,
+    grid: Grid,
+    dist: float,
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    left_wkb: str = "l_wkb",
+    right_wkb: str = "r_wkb",
+) -> DataFrame:
+    """Distributed within-distance join of TWO WKB DataFrames (the
+    extended-geometry analog of the point within-distance join, on the
+    big×big machinery).
+
+    The LEFT side's envelope is expanded by ``dist`` before the native
+    cover explode, so any right geometry within ``dist`` shares a cell with
+    the expanded left. Between the scans and the refine everything is JVM:
+
+    1. vectorized envelope UDF per side; left bounds widened by ``dist``
+       in pure Catalyst before ``sequence()``-explode.
+    2. native cell equi-join; the codegen prefilter is the exact ENVELOPE
+       DISTANCE test (sum of squared per-axis gaps ≤ dist²) — strictly
+       tighter than expanded-box overlap.
+    3. reference-cell dedup over the expanded-envelope intersection corner
+       (each pair refines exactly once).
+    4. surviving candidates cross the Arrow boundary once into the
+       vectorized facet-distance refine.
+    """
+    from .tiling import envelope_struct_udf, explode_cover_native
+
+    env_udf = envelope_struct_udf()
+    d = float(dist)
+
+    def _side(df: DataFrame, id_col: str, wkb_col: str, tag: str,
+              expand: float) -> DataFrame:
+        base = df.select(F.col(id_col), F.col(wkb_col),
+                         env_udf(F.col(wkb_col)).alias("_e0"))
+        if expand:
+            base = base.withColumn(
+                "_env",
+                F.struct(
+                    (F.col("_e0.minx") - F.lit(expand)).alias("minx"),
+                    (F.col("_e0.miny") - F.lit(expand)).alias("miny"),
+                    (F.col("_e0.maxx") + F.lit(expand)).alias("maxx"),
+                    (F.col("_e0.maxy") + F.lit(expand)).alias("maxy"),
+                ),
+            )
+        else:
+            base = base.withColumn("_env", F.col("_e0"))
+        return explode_cover_native(base, grid).select(
+            id_col, wkb_col,
+            F.col("_e0.minx").alias(f"{tag}minx"), F.col("_e0.miny").alias(f"{tag}miny"),
+            F.col("_e0.maxx").alias(f"{tag}maxx"), F.col("_e0.maxy").alias(f"{tag}maxy"),
+            "cell_id",
+        )
+
+    lc = _side(left, left_id, left_wkb, "_l", d)
+    rc = _side(right, right_id, right_wkb, "_r", 0.0)
+    gapx = F.greatest(
+        F.lit(0.0),
+        F.greatest(F.col("_lminx") - F.col("_rmaxx"), F.col("_rminx") - F.col("_lmaxx")),
+    )
+    gapy = F.greatest(
+        F.lit(0.0),
+        F.greatest(F.col("_lminy") - F.col("_rmaxy"), F.col("_rminy") - F.col("_lmaxy")),
+    )
+    cand = (
+        lc.join(rc.hint("shuffle_hash"), "cell_id")
+        .filter(gapx * gapx + gapy * gapy <= F.lit(d * d))
+        .filter(
+            _ref_cell_col(
+                grid,
+                F.greatest(F.col("_lminx") - F.lit(d), F.col("_rminx")),
+                F.greatest(F.col("_lminy") - F.lit(d), F.col("_rminy")),
+            ) == F.col("cell_id")
+        )
+    )
+    refined = cand.filter(
+        within_distance_refine_udf(d)(F.col(left_wkb), F.col(right_wkb))
+    )
+    return refined.select(left_id, right_id, "cell_id")

@@ -678,3 +678,99 @@ def batch_covers_right(
                 ok[sub[bad]] = False
 
     return (ok & has_int) if contains else ok
+
+
+# ---------------------------------------------------------------------------
+# vectorized within-distance
+# ---------------------------------------------------------------------------
+
+def _pt_seg_within(qx, qy, x1, y1, x2, y2, d2: float):
+    """(nq, ns) → (nq,) bool: point i within sqrt(d2) of ANY segment j.
+
+    Division-free 3-case form (endpoint / endpoint / perpendicular), the
+    exact arithmetic ``Operation/Distance/IndexedFacetDistance.cs`` reduces
+    to for segment facets — and the SAME IEEE expression tree the SQL
+    oracles generate, so both engines agree bit-for-bit on ties. Chunked.
+    """
+    nq, ns = len(qx), len(x1)
+    out = np.zeros(nq, dtype=bool)
+    if nq == 0 or ns == 0:
+        return out
+    ex = x2 - x1; ey = y2 - y1
+    len2 = ex * ex + ey * ey
+    step = max(1, _SEG_CHUNK // ns)
+    for s in range(0, nq, step):
+        px = qx[s:s + step][:, None]; py = qy[s:s + step][:, None]
+        rx = px - x1[None, :]; ry = py - y1[None, :]
+        dot = rx * ex[None, :] + ry * ey[None, :]
+        da2 = rx * rx + ry * ry
+        sx = px - x2[None, :]; sy = py - y2[None, :]
+        db2 = sx * sx + sy * sy
+        cross = rx * ey[None, :] - ry * ex[None, :]
+        hit = np.where(
+            dot <= 0.0, da2 <= d2,
+            np.where(dot >= len2[None, :], db2 <= d2,
+                     cross * cross <= d2 * len2[None, :]),
+        )
+        out[s:s + step] = hit.any(axis=1)
+    return out
+
+
+def batch_within_distance(
+    gb: GeomBatch, lefts: np.ndarray, right: Geom | PreparedRight, dist: float
+) -> np.ndarray:
+    """Vectorized distance(left_i, right) ≤ dist for every left index.
+
+    distance ≤ d  ⟺  intersects ∨ some left vertex within d of a right
+    facet ∨ some right vertex within d of a left facet — exact for any
+    point/line/polygon mix (the min distance between disjoint geometries is
+    attained at a vertex of one against a facet of the other; point
+    geometries carry vertex facets only). Passes are whole-array; the
+    intersects pass reuses ``batch_intersects``.
+    """
+    pr = right if isinstance(right, PreparedRight) else PreparedRight(right)
+    res = batch_intersects(gb, lefts, pr)
+    lefts = np.asarray(lefts, dtype=np.int64)
+    d2 = float(dist) * float(dist)
+    pend = ~res
+    if not pend.any() or pr.empty:
+        return res
+    sub = np.flatnonzero(pend)
+    ls = lefts[sub]
+    # left vertices within d of right segments / right point-features
+    vcnt = gb.v_start[ls + 1] - gb.v_start[ls]
+    vidx, vowner = _ranges_concat(gb.v_start[ls], vcnt)
+    if len(vidx):
+        lvx = gb.vx[vidx]; lvy = gb.vy[vidx]
+        near = _pt_seg_within(lvx, lvy, pr.rax, pr.ray, pr.rbx, pr.rby, d2)
+        for px, py in pr.point_xy:
+            near |= (lvx - px) ** 2 + (lvy - py) ** 2 <= d2
+        res[sub[np.unique(vowner[near])]] = True
+    # right vertices within d of left segments
+    pend2 = ~res
+    sub2 = np.flatnonzero(pend2)
+    if len(sub2) and len(pr.rvx):
+        ls2 = lefts[sub2]
+        scnt = gb.s_start[ls2 + 1] - gb.s_start[ls2]
+        sidx, sowner = _ranges_concat(gb.s_start[ls2], scnt)
+        if len(sidx):
+            x1 = gb.sax[sidx]; y1 = gb.say[sidx]
+            x2 = gb.sbx[sidx]; y2 = gb.sby[sidx]
+            ex = x2 - x1; ey = y2 - y1
+            len2 = ex * ex + ey * ey
+            near_seg = np.zeros(len(sidx), dtype=bool)
+            for qx, qy in zip(pr.rvx, pr.rvy):
+                rx = qx - x1; ry = qy - y1
+                dot = rx * ex + ry * ey
+                da2 = rx * rx + ry * ry
+                sx = qx - x2; sy = qy - y2
+                db2 = sx * sx + sy * sy
+                cross = rx * ey - ry * ex
+                near_seg |= np.where(
+                    dot <= 0.0, da2 <= d2,
+                    np.where(dot >= len2, db2 <= d2, cross * cross <= d2 * len2),
+                )
+            res[sub2[np.unique(sowner[near_seg])]] = True
+    # left point-features against right vertices are covered by pass 1
+    # (every left vertex probed all right segments AND right points).
+    return res

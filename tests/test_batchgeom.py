@@ -245,3 +245,28 @@ def test_batch_covers_hole_boundary_residue():
     got = batch_covers_rights(gb, np.array([0]), a, contains=True,
                               geom_of=lambda k: b)
     assert bool(got[0]) == p_contains(a, b) is True
+
+
+def test_batch_within_distance_matches_facet_distance():
+    """batch_within_distance vs the scalar facet-distance kernel on random
+    mixed batches at several thresholds (ties resolved identically: both
+    evaluate the same squared forms)."""
+    from nettopologysuite_spark.kernels.batchgeom import batch_within_distance
+    from nettopologysuite_spark.kernels.facetdist import facet_distance
+
+    rng = np.random.default_rng(41)
+    total = 0
+    for trial in range(25):
+        lefts = [_rand_geom(rng, rng.integers(0, 4)) for _ in range(30)]
+        if trial % 3 == 0:
+            lefts += [_poly_with_hole(rng) for _ in range(3)]
+        right = _rand_geom(rng, rng.integers(0, 4)) if trial % 4 else _poly_with_hole(rng)
+        gb = GeomBatch.from_wkb([wkb_dumps(g) for g in lefts])
+        idx = np.arange(len(lefts), dtype=np.int64)
+        for d in (0.5, 2.0, 6.0):
+            got = batch_within_distance(gb, idx, right, d)
+            for i, g in enumerate(lefts):
+                exp = facet_distance(g, right) <= d
+                assert bool(got[i]) == exp, (trial, i, d, g.type_name)
+                total += 1
+    assert total > 2000

@@ -110,3 +110,13 @@ def test_poly_poly_contains_shape(spark, sf_dir):
     assert "FLOOR" in plan
     assert plan.count("ArrowEvalPython") == 3
     assert "sequence(greatest(" in plan, plan[:800]
+
+
+def test_within_dist_join_geom_shape(spark, sf_dir):
+    """Extended within-distance join: native cell equi-join, codegen
+    envelope-distance prefilter, exactly 3 Python crossings."""
+    df = E.q_within_dist_join_geom(spark, sf_dir)
+    plan = _plan(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan[:800]
+    assert plan.count("ArrowEvalPython") == 3
+    assert "sequence(greatest(" in plan, plan[:800]

@@ -125,3 +125,27 @@ def test_poly_poly_contains_matches_bruteforce(spark, sf_dir):
                 expect.add((r["pid"], pid))
     assert got == expect
     assert len(got) > 0
+
+
+def test_within_dist_join_geom_matches_bruteforce(spark, sf_dir):
+    """Envelope-expanded cover explode + refine vs per-pair facet distance
+    over the full cross product; each pair exactly once."""
+    import __spark_entry__ as E
+    from nettopologysuite_spark.engine.derive import nation_octagon_geom
+    from nettopologysuite_spark.kernels.facetdist import facet_distance
+    from nettopologysuite_spark.kernels.geom import wkb_loads
+
+    rows = E.q_within_dist_join_geom(spark, sf_dir).collect()
+    got = [(r["pid"], r["poly_id"]) for r in rows]
+    assert len(got) == len(set(got))
+    rects = E._event_rects(spark, sf_dir).collect()
+    octs = {f"oct-{k}": nation_octagon_geom(k)
+            for k in E._nation_keys(spark, sf_dir)}
+    expect = set()
+    for r in rects:
+        g = wkb_loads(bytes(r["geom_wkb"]))
+        for pid, oct_g in octs.items():
+            if facet_distance(g, oct_g) <= 2.0:
+                expect.add((r["pid"], pid))
+    assert set(got) == expect
+    assert len(expect) > 0
