@@ -363,6 +363,18 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dedup(docs)
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode pipeline: refs → deterministic synthesized PPM/BMP
+    bytes (fetch stand-in) → REAL pure-numpy decode → exact channel stats.
+    The oracle reproduces every feature from the ref hash in closed form —
+    width/height/seed from md5 hex substrings, means from the gradient
+    image's exact sums."""
+    from nettopologysuite_spark.engine.media import media_features
+
+    docs = synthesize_docs(spark, sf_dir)
+    return media_features(docs)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nettopologysuite_spark.engine.dedup import exact_dedup
 
@@ -643,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_poly_join": q_poly_poly_join,
         "poly_poly_contains": q_poly_poly_contains,
         "within_dist_join_geom": q_within_dist_join_geom,
+        "media_features": q_media_features,
         "media_stats": q_media_stats,
         "media_dedup": q_media_dedup,
         "geo_dedup": q_geo_dedup,
@@ -1019,6 +1032,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(printf('doc-%012d', doc_id)) AS keep_id, "
             "COUNT(*) AS n_dups FROM documents "
             "GROUP BY md5(lower(trim(printf('media://%s/%d', source, doc_id))))"
+        ),
+        "media_features": (
+            # closed-form features of the deterministic gradient image
+            # (R = row, G = col, B = seed): dims/seed/fmt from md5 hex
+            # substrings of the ref, means exact doubles
+            "WITH m AS (SELECT printf('doc-%012d', doc_id) AS doc_id, "
+            "md5(printf('media://%s/%d', source, doc_id)) AS hh FROM documents), "
+            "p AS (SELECT doc_id, "
+            "CAST(16 + CAST('0x' || substr(hh, 1, 6) AS BIGINT) % 200 AS INT) AS width, "
+            "CAST(16 + CAST('0x' || substr(hh, 7, 6) AS BIGINT) % 200 AS INT) AS height, "
+            "CAST('0x' || substr(hh, 13, 2) AS BIGINT) AS seed, "
+            "CASE WHEN CAST('0x' || substr(hh, 15, 1) AS BIGINT) % 2 = 0 "
+            "THEN 'ppm' ELSE 'bmp' END AS fmt FROM m) "
+            "SELECT doc_id, 1 AS span_idx, fmt, width, height, "
+            "(CAST(height AS DOUBLE) - 1.0) / 2.0 AS mean_r, "
+            "(CAST(width AS DOUBLE) - 1.0) / 2.0 AS mean_g, "
+            "CAST(seed AS DOUBLE) AS mean_b, "
+            "0 AS r_first, height - 1 AS r_last FROM p"
         ),
         "geo_dedup": (
             f"SELECT CAST(FLOOR(x * 2) AS BIGINT) AS sx, "

@@ -1,11 +1,13 @@
 """Media-span operators over the interleaved documents table.
 
 The docs table (BASELINE.json input_hint) interleaves text / geom / media
-spans; media content is an opaque reference (``media://<source>/<id>``) —
-the decode/resize/frame-sample stage is STUBBED (no image/audio libs in
-this container) behind ``decode_media_batches``, but the Spark-side
-plumbing — span filtering, schema, Arrow batch shape, fingerprint dedup —
-is real and oracle-gated:
+spans; media content is an opaque reference (``media://<source>/<id>``).
+The FETCH stage is the only stand-in (``fetch_media_batches`` synthesizes
+deterministic PPM/BMP bytes from the ref — in production it is the
+object-store read); the DECODE stage is real: pure-numpy PPM (P6) and
+24-bit BMP parsers feed exact channel statistics, and the whole pipeline —
+span filtering, schema, binary column, two independent mapInPandas stages,
+fingerprint dedup — is oracle-gated:
 
 - ``media_stats``: per-doc media span counts + normalized-ref fingerprint
   (pure native expressions over the spans array — the span column is never
@@ -68,35 +70,181 @@ def media_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-MEDIA_FEATURE_SCHEMA = "doc_id string, span_idx int, width int, height int, phash string"
+MEDIA_FEATURE_SCHEMA = (
+    "doc_id string, span_idx int, fmt string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, r_first int, r_last int"
+)
+
+
+def _ref_params(ref: str) -> tuple[str, int, int, int]:
+    """(fmt, width, height, seed) derived from md5 of the media ref — the
+    deterministic stand-in for the object-store FETCH (the only stubbed
+    stage; everything downstream operates on real bytes). The same
+    derivation is SQL-expressible (DuckDB md5 + hex-substring casts), which
+    is what makes the decoded features oracle-checkable."""
+    import hashlib
+
+    hh = hashlib.md5(ref.encode()).hexdigest()
+    w = 16 + int(hh[:6], 16) % 200
+    h = 16 + int(hh[6:12], 16) % 200
+    seed = int(hh[12:14], 16)
+    fmt = "ppm" if int(hh[14], 16) % 2 == 0 else "bmp"
+    return fmt, w, h, seed
+
+
+def _test_image(w: int, h: int, seed: int) -> "np.ndarray":
+    """(h, w, 3) uint8: R = row index, G = column index, B = seed — chosen
+    so every decoded feature has an exact closed form (mean_r = (h-1)/2,
+    mean_g = (w-1)/2, mean_b = seed) AND orientation bugs are visible
+    (r_first = 0 at the top, r_last = h-1 at the bottom; a decoder that
+    forgets BMP's bottom-up row order flips them)."""
+    import numpy as np
+
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(h, dtype=np.uint8)[:, None]
+    img[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :]
+    img[:, :, 2] = seed
+    return img
+
+
+def encode_ppm(img: "np.ndarray") -> bytes:
+    """Binary PPM (P6, maxval 255)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(blob: bytes) -> "np.ndarray":
+    """Parse binary PPM (P6): ASCII header (whitespace/comment tolerant),
+    raw RGB payload → (h, w, 3) uint8. Pure numpy."""
+    import numpy as np
+
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(blob) and blob[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    arr = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+def encode_bmp(img: "np.ndarray") -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER): BGR channel order,
+    bottom-up rows, rows padded to 4 bytes."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    row = (3 * w + 3) // 4 * 4
+    payload = np.zeros((h, row), dtype=np.uint8)
+    payload[:, : 3 * w] = img[::-1, :, ::-1].reshape(h, 3 * w)  # flip + BGR
+    head = struct.pack("<2sIHHI", b"BM", 54 + row * h, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 2835, 2835, 0, 0)
+    return head + dib + payload.tobytes()
+
+
+def decode_bmp(blob: bytes) -> "np.ndarray":
+    """Parse 24-bit uncompressed bottom-up BMP → (h, w, 3) uint8 RGB.
+    Pure numpy (header struct + one strided reshape + flip)."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    hdr_sz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if hdr_sz < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
+    flip = h > 0  # negative height = top-down per the spec
+    h = abs(h)
+    row = (3 * w + 3) // 4 * 4
+    arr = np.frombuffer(blob, dtype=np.uint8, count=row * h, offset=offset)
+    img = arr.reshape(h, row)[:, : 3 * w].reshape(h, w, 3)
+    if flip:
+        img = img[::-1]
+    return img[:, :, ::-1]  # BGR → RGB
+
+
+def fetch_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel for the FETCH stage: media_ref → raw bytes.
+
+    In production this is the object-store read; here the bytes are
+    synthesized deterministically from the ref (``_ref_params`` +
+    ``_test_image``), alternating PPM/BMP so both decoders exercise. The
+    blob column is a real ``binary`` column — schema, batching, and memory
+    shape match the production operator."""
+    for pdf in batches:
+        blobs = []
+        for ref in pdf["media_ref"]:
+            fmt, w, h, seed = _ref_params(ref)
+            img = _test_image(w, h, seed)
+            blobs.append(encode_ppm(img) if fmt == "ppm" else encode_bmp(img))
+        out = pdf[["doc_id", "span_idx"]].copy()
+        out["span_idx"] = out["span_idx"].astype("int32")
+        out["blob"] = blobs
+        yield out
 
 
 def decode_media_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel for the decode → feature-extract stage.
-
-    The real implementation would fetch ``media_ref``, decode (PIL/ffmpeg),
-    resize, and compute a perceptual hash per frame. Those libraries are not
-    available in this container, so the decode emits a DETERMINISTIC FAKE:
-    dimensions derived from the ref hash, phash = md5 of the ref — keeping
-    the batch shape, schema, and partitioning behavior of the real operator
-    (swap the body, keep the plumbing).
-    """
-    import hashlib
+    """mapInPandas kernel for the decode → feature-extract stage: REAL
+    pure-numpy PPM (P6) / BMP (24-bit) decoders over the blob column, then
+    exact channel statistics (integer sums divided once — deterministic
+    doubles any engine reproduces)."""
+    import numpy as np
 
     for pdf in batches:
-        h = [
-            hashlib.md5(str(r).encode()).hexdigest() for r in pdf["media_ref"]
-        ]
-        yield pd.DataFrame({
+        rows = {k: [] for k in ("fmt", "width", "height", "mean_r", "mean_g",
+                                "mean_b", "r_first", "r_last")}
+        for blob in pdf["blob"]:
+            b = bytes(blob)
+            if b[:2] == b"P6":
+                fmt, img = "ppm", decode_ppm(b)
+            else:
+                fmt, img = "bmp", decode_bmp(b)
+            h, w, _ = img.shape
+            npx = w * h
+            sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            rows["fmt"].append(fmt)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["mean_r"].append(float(sums[0]) / npx)
+            rows["mean_g"].append(float(sums[1]) / npx)
+            rows["mean_b"].append(float(sums[2]) / npx)
+            rows["r_first"].append(int(img[0, 0, 0]))
+            rows["r_last"].append(int(img[h - 1, 0, 0]))
+        out = pd.DataFrame({
             "doc_id": pdf["doc_id"],
             "span_idx": pdf["span_idx"].astype("int32"),
-            "width": [64 + int(x[:2], 16) for x in h],
-            "height": [64 + int(x[2:4], 16) for x in h],
-            "phash": h,
+            **rows,
         })
+        out["width"] = out["width"].astype("int32")
+        out["height"] = out["height"].astype("int32")
+        out["r_first"] = out["r_first"].astype("int32")
+        out["r_last"] = out["r_last"].astype("int32")
+        yield out
 
 
 def media_features(docs: DataFrame) -> DataFrame:
-    """Distributed decode/feature pipeline: media refs → Arrow batches →
-    (stubbed) decode → typed feature rows."""
-    return media_refs(docs).mapInPandas(decode_media_batches, MEDIA_FEATURE_SCHEMA)
+    """Distributed fetch → decode → feature pipeline over media spans:
+    refs → Arrow batches → synthesized bytes (fetch stand-in) → REAL
+    PPM/BMP decode → typed feature rows. Two mapInPandas stages so the
+    fetch (I/O-bound in production) and decode (CPU-bound) can be
+    repartitioned independently at scale."""
+    blobs = media_refs(docs).mapInPandas(
+        fetch_media_batches, "doc_id string, span_idx int, blob binary"
+    )
+    return blobs.mapInPandas(decode_media_batches, MEDIA_FEATURE_SCHEMA)

@@ -14,15 +14,54 @@ def test_media_features_schema_and_determinism(spark, sf_dir):
     docs = synthesize_docs(spark, sf_dir)
     feats = media_features(docs)
     assert feats.schema.simpleString() == (
-        "struct<doc_id:string,span_idx:int,width:int,height:int,phash:string>"
+        "struct<doc_id:string,span_idx:int,fmt:string,width:int,height:int,"
+        "mean_r:double,mean_g:double,mean_b:double,r_first:int,r_last:int>"
     )
-    rows = {r["doc_id"]: (r["width"], r["height"], r["phash"]) for r in feats.collect()}
+    rows = {r["doc_id"]: tuple(r)[2:] for r in feats.collect()}
     assert len(rows) == docs.count()
     # deterministic: re-run yields identical values
-    rows2 = {r["doc_id"]: (r["width"], r["height"], r["phash"]) for r in feats.collect()}
+    rows2 = {r["doc_id"]: tuple(r)[2:] for r in feats.collect()}
     assert rows == rows2
-    # fake dims are bounded as documented
-    assert all(64 <= w <= 64 + 255 and 64 <= h <= 64 + 255 for w, h, _ in rows.values())
+    fmts = {v[0] for v in rows.values()}
+    assert fmts == {"ppm", "bmp"}  # both decoders exercised
+    for fmt, w, h, mr, mg, mb, rf, rl in rows.values():
+        assert 16 <= w <= 215 and 16 <= h <= 215
+        assert mr == (h - 1) / 2.0 and mg == (w - 1) / 2.0
+        assert 0 <= mb <= 255 and rf == 0 and rl == h - 1
+
+
+def test_media_codecs_roundtrip():
+    import numpy as np
+
+    from nettopologysuite_spark.engine.media import (
+        _test_image,
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        w, h = int(rng.integers(1, 220)), int(rng.integers(1, 220))
+        img = _test_image(w, h, int(rng.integers(0, 256)))
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    # header tolerance: PPM comments; BMP top-down (negative height)
+    img = _test_image(7, 5, 9)
+    blob = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(blob), img)
+    import struct
+
+    bmp = bytearray(encode_bmp(img))
+    # flip to top-down: negate height, reverse stored rows
+    w, h = 7, 5
+    row = (3 * w + 3) // 4 * 4
+    struct.pack_into("<i", bmp, 22, -h)
+    body = bytes(bmp[54:])
+    rows = [body[i * row:(i + 1) * row] for i in range(h)]
+    bmp[54:] = b"".join(reversed(rows))
+    assert np.array_equal(decode_bmp(bytes(bmp)), img)
 
 
 def test_media_pipeline_preserves_span_invariant(spark, sf_dir):
