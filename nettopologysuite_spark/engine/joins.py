@@ -799,20 +799,33 @@ def choose_grid(
     explodes once per covered cell, so cells much smaller than the typical
     feature multiply the shuffle volume, while cells much larger pile
     unrelated features into the same bucket. The standard heuristic is
-    cell size ≈ average feature extent (measured 1.3–3× on the rect ×
-    octagon workload vs a 2×-finer grid). A 1% sample's mean max-span
-    estimates that extent in one cheap aggregate job; point-dominated data
-    (span ≈ 0) clamps to ``max_level`` — points never explode, so the
-    finest grid only adds parallelism."""
+    cell size ≈ typical feature extent (measured 1.3–3× on the rect ×
+    octagon workload vs a 2×-finer grid), estimated here as the sampled
+    p75 max-span in one cheap aggregate job:
+
+    - p75, not the mean: heavy-tailed extents (a few continent-sized
+      features among millions of parcels) drag the mean toward a coarse
+      grid that buckets most of the data together; the quantile tracks the
+      bulk and lets the tail explode a little — the cheaper direction
+      (property-tested with Zipfian extents).
+    - each side's sample is topped up with ``limit(min_rows)`` rows so a
+      small side (e.g. a 25-row dimension table) still contributes to the
+      estimate — a pure fraction sample would draw zero rows from it and
+      silently fit the grid to the big side alone.
+    - point-dominated data (span ≈ 0) clamps to ``max_level`` — points
+      never explode, so the finest grid only adds parallelism."""
     import math
 
     from .tiling import envelope_struct_udf
 
     env_udf = envelope_struct_udf()
+    min_rows = 64
     spans = []
     for df, col in ((left, left_wkb), (right, right_wkb)):
-        s = df.sample(fraction=fraction, seed=7).select(
-            env_udf(F.col(col)).alias("_e")
+        s = (
+            df.sample(fraction=fraction, seed=7)
+            .unionByName(df.limit(min_rows))
+            .select(env_udf(F.col(col)).alias("_e"))
         )
         spans.append(
             s.select(
@@ -824,10 +837,11 @@ def choose_grid(
         )
     row = (
         spans[0].unionByName(spans[1])
-        # empty geometries yield NaN envelopes; NaN would poison avg AND
-        # slip past the <=0 guard below (NaN compares false), crashing log2
+        # empty geometries yield NaN envelopes; NaN would poison the
+        # aggregate AND slip past the <=0 guard below (NaN compares false),
+        # crashing log2
         .filter(~F.isnan("_span"))
-        .agg(F.avg("_span"))
+        .agg(F.percentile_approx("_span", F.lit(0.75), F.lit(10_000)))
         .first()
     )
     span = row[0] or 0.0

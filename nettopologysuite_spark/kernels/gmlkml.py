@@ -59,8 +59,12 @@ def _coords_from_poslist(text: str, dim: int = 2) -> np.ndarray:
 
 
 def _child_coords(el: ET.Element) -> np.ndarray:
-    """Coordinate payload of a GML geometry element, any of the three
-    forms (coordinates / pos / posList)."""
+    """Coordinate payload of a GML geometry element, any of the four forms
+    (coordinates / pos / posList / GML2 coord elements with X/Y children,
+    ``GMLReader.cs`` ReadCoordinate ~110-137). An element whose children
+    match none of them raises instead of silently parsing as EMPTY; a
+    childless element is the explicit empty form."""
+    coord_pts = []
     for ch in el:
         name = _local(ch.tag)
         if name == "coordinates":
@@ -74,6 +78,18 @@ def _child_coords(el: ET.Element) -> np.ndarray:
             dim = int(ch.get("srsDimension")
                       or el.get("srsDimension") or "2")
             return _coords_from_poslist(ch.text, dim)
+        if name == "coord":
+            xy = {_local(sub.tag): float(sub.text) for sub in ch
+                  if _local(sub.tag) in ("X", "Y")}
+            if "X" not in xy or "Y" not in xy:
+                raise ValueError("gml:coord requires X and Y children")
+            coord_pts.append((xy["X"], xy["Y"]))
+    if coord_pts:
+        return np.array(coord_pts, dtype=np.float64)
+    if len(el):
+        raise ValueError(
+            f"<{_local(el.tag)}> has no recognized coordinate child"
+        )
     return np.empty((0, 2))
 
 
@@ -135,11 +151,17 @@ def _parse_element(el: ET.Element, kml: bool = False) -> Geom:
                 # nest children directly, without member tags
                 parts.append(_parse_element(ch, kml))
         gtype = multi_types[name]
-        if kml and gtype == GEOMETRYCOLLECTION and parts:
-            # KML has ONE multi container; narrow homogeneous contents to
-            # the specific multi type so write→read round-trips type-stably.
-            # GML reads never narrow — gml:MultiGeometry is GML2's
-            # GeometryCollection and must round-trip type-exactly.
+        if kml and gtype == GEOMETRYCOLLECTION:
+            # KML has ONE multi container. A single child is returned BARE
+            # (KMLReader.cs ParseKMLMultiGeometry:368-376 — count==1 yields
+            # the inner geometry; the reference returns null for count==0,
+            # which maps to the empty collection here). Homogeneous
+            # multi-child contents narrow to the specific multi type so
+            # write→read round-trips type-stably. GML reads never narrow —
+            # gml:MultiGeometry is GML2's GeometryCollection and must
+            # round-trip type-exactly.
+            if len(parts) == 1:
+                return parts[0]
             narrow = {POINT: MULTIPOINT, LINESTRING: MULTILINESTRING,
                       POLYGON: MULTIPOLYGON}
             kinds = {p.gtype for p in parts}
@@ -211,10 +233,19 @@ def _gml_element(g: Geom, version: int) -> str:
         for h in g.rings[1:]:
             parts.append(f"<{p}{inner_tag}>{ring(h)}</{p}{inner_tag}>")
         return f"<{p}Polygon>{''.join(parts)}</{p}Polygon>"
+    # GML3 renames the line/polygon containers to MultiCurve/MultiSurface
+    # (GMLWriter.cs:301,309,330,338 with GMLVersion.Three); the reader
+    # accepts both vocabularies either way
     multis = {
         MULTIPOINT: ("MultiPoint", "pointMember"),
-        MULTILINESTRING: ("MultiLineString", "lineStringMember"),
-        MULTIPOLYGON: ("MultiPolygon", "polygonMember"),
+        MULTILINESTRING: (
+            ("MultiLineString", "lineStringMember") if version == 2
+            else ("MultiCurve", "curveMember")
+        ),
+        MULTIPOLYGON: (
+            ("MultiPolygon", "polygonMember") if version == 2
+            else ("MultiSurface", "surfaceMember")
+        ),
         GEOMETRYCOLLECTION: ("MultiGeometry", "geometryMember"),
     }
     name, member = multis[g.gtype]

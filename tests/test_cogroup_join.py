@@ -196,3 +196,69 @@ def test_choose_grid_matches_feature_extent(spark, sf_dir):
     g2 = choose_grid(ptdf, ptdf, (0.0, 0.0, 100.0, 100.0),
                      left_wkb="geom_wkb", right_wkb="geom_wkb", fraction=1.0)
     assert g2.level == 8
+
+
+def test_choose_grid_small_side_and_zipf_tail(spark, sf_dir):
+    """Regression (round-4 advice): a tiny side must contribute to the span
+    estimate even when the fraction sample draws zero rows from it; and
+    Zipfian (heavy-tailed) extents must not drag the grid coarse — the p75
+    estimator tracks the bulk, join output stays level-invariant, and the
+    explode factor stays bounded."""
+    import numpy as np
+
+    import __spark_entry__ as E
+    from nettopologysuite_spark.engine.derive import nation_octagon_geom
+    from nettopologysuite_spark.engine.joins import choose_grid, spatial_join_bigbig
+    from nettopologysuite_spark.engine.tiling import envelope_struct_udf, explode_cover_native
+    from nettopologysuite_spark.kernels.cells import Grid
+    from nettopologysuite_spark.kernels.geom import polygon as k_polygon
+    from nettopologysuite_spark.kernels.geom import wkb_dumps
+    from pyspark.sql import functions as F
+
+    # 1. tiny dimension side + default 1% fraction: the limit top-up makes
+    #    the octagons (span 8-16) pull the level down from the rect-only
+    #    estimate — and never lets an empty sample fall through to span=0
+    rects = E._event_rects(spark, sf_dir)
+    keys = E._nation_keys(spark, sf_dir)
+    octs = spark.createDataFrame(
+        [(f"oct-{k}", wkb_dumps(nation_octagon_geom(k))) for k in keys],
+        "poly_id string, oct_wkb binary",
+    )
+    g = choose_grid(rects, octs, (0.0, 0.0, 100.0, 100.0),
+                    left_wkb="geom_wkb", right_wkb="oct_wkb", fraction=0.01)
+    assert 3 <= g.level <= 6, g.level
+
+    # 2. Zipfian spans: bulk ~1-2 units, a tail of giants up to ~50 units.
+    rng = np.random.default_rng(17)
+    spans = np.minimum(50.0, 1.0 + 1.0 / rng.power(3.0, 400))
+    cx = rng.uniform(5, 95, 400); cy = rng.uniform(5, 95, 400)
+    rows = []
+    for i in range(400):
+        s = float(spans[i]) / 2
+        x0, y0 = float(cx[i]), float(cy[i])
+        rows.append((i, wkb_dumps(k_polygon(
+            [(x0 - s, y0 - s), (x0 + s, y0 - s), (x0 + s, y0 + s),
+             (x0 - s, y0 + s), (x0 - s, y0 - s)]))))
+    zdf = spark.createDataFrame(rows, "pid long, geom_wkb binary")
+    gz = choose_grid(zdf, octs, (0.0, 0.0, 100.0, 100.0),
+                     left_wkb="geom_wkb", right_wkb="oct_wkb", fraction=1.0)
+    # p75 of (bulk ~1-2) stays fine-grained; the mean over the Zipf tail
+    # would land 1-2 levels coarser
+    assert gz.level >= 5, gz.level
+    # output equality across levels (dedup invariant)
+    results = []
+    for grid in (gz, Grid(0.0, 0.0, 100.0, 100.0, level=3)):
+        out = spatial_join_bigbig(
+            zdf, octs, grid, "intersects",
+            left_id="pid", right_id="poly_id",
+            left_wkb="geom_wkb", right_wkb="oct_wkb",
+        )
+        results.append({(r.pid, r.poly_id) for r in out.collect()})
+    assert results[0] == results[1]
+    assert len(results[0]) > 0
+    # bounded explode: at the chosen grid the mean cover multiplicity of
+    # the Zipfian side stays small (tail giants explode, the bulk doesn't)
+    env_udf = envelope_struct_udf()
+    tagged = zdf.select("pid", env_udf(F.col("geom_wkb")).alias("_env"))
+    n_exploded = explode_cover_native(tagged, gz).count()
+    assert n_exploded / 400 <= 16, n_exploded

@@ -10,7 +10,12 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from nettopologysuite_spark.kernels.geom import wkt_dumps, wkt_loads  # noqa: E402
+from nettopologysuite_spark.kernels.geom import (  # noqa: E402
+    LINESTRING,
+    POINT,
+    wkt_dumps,
+    wkt_loads,
+)
 from nettopologysuite_spark.kernels.gmlkml import (  # noqa: E402
     gml_dumps,
     gml_loads,
@@ -174,3 +179,75 @@ def test_reference_gml_corpus(fname, gtype_name):
         if not part.is_empty:
             back = gml_loads(gml_dumps(part))
             assert equals_normalized(back, part), fname
+
+
+def test_gml2_coord_form():
+    """GML2 <coord><X/><Y/></coord> coordinate form (GMLReader.cs
+    ReadCoordinate ~110-137) — points and multi-coord linestrings."""
+    g = gml_loads(
+        '<gml:Point xmlns:gml="http://www.opengis.net/gml">'
+        "<gml:coord><gml:X>1.5</gml:X><gml:Y>2.5</gml:Y></gml:coord>"
+        "</gml:Point>"
+    )
+    assert g.gtype == POINT and g.coords[0, 0] == 1.5 and g.coords[0, 1] == 2.5
+    ls = gml_loads(
+        '<gml:LineString xmlns:gml="http://www.opengis.net/gml">'
+        "<gml:coord><gml:X>0</gml:X><gml:Y>0</gml:Y></gml:coord>"
+        "<gml:coord><gml:X>3</gml:X><gml:Y>4</gml:Y></gml:coord>"
+        "</gml:LineString>"
+    )
+    assert ls.gtype == LINESTRING and len(ls.coords) == 2 and ls.coords[1, 0] == 3.0
+
+
+def test_gml_unrecognized_coordinate_child_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        gml_loads(
+            '<gml:Point xmlns:gml="http://www.opengis.net/gml">'
+            "<gml:bogus>1 2</gml:bogus></gml:Point>"
+        )
+    with pytest.raises(ValueError):
+        gml_loads(
+            '<gml:Point xmlns:gml="http://www.opengis.net/gml">'
+            "<gml:coord><gml:X>1</gml:X></gml:coord></gml:Point>"
+        )
+
+
+def test_gml3_multi_container_names():
+    """GML3 writes MultiCurve/curveMember and MultiSurface/surfaceMember
+    (GMLWriter.cs:301-338); reader accepts both vocabularies."""
+    from nettopologysuite_spark.kernels.geom import (
+        MULTILINESTRING,
+        MULTIPOLYGON,
+        linestring,
+        multi,
+        polygon,
+    )
+
+    ml = multi(MULTILINESTRING, [linestring([(0, 0), (1, 1)]),
+                                 linestring([(2, 2), (3, 3)])])
+    txt3 = gml_dumps(ml, version=3)
+    assert "MultiCurve" in txt3 and "curveMember" in txt3
+    assert "MultiLineString" not in txt3
+    assert gml_loads(txt3).gtype == MULTILINESTRING
+    txt2 = gml_dumps(ml, version=2)
+    assert "MultiLineString" in txt2 and "lineStringMember" in txt2
+    mp = multi(MULTIPOLYGON, [polygon([(0, 0), (1, 0), (1, 1), (0, 0)])] * 2)
+    txt3 = gml_dumps(mp, version=3)
+    assert "MultiSurface" in txt3 and "surfaceMember" in txt3
+    assert gml_loads(txt3).gtype == MULTIPOLYGON
+
+
+def test_kml_single_child_multigeometry_unwraps():
+    """KMLReader.cs ParseKMLMultiGeometry:368-376 — one child returns the
+    bare inner geometry; zero children stay an (empty) collection."""
+    g = kml_loads(
+        "<MultiGeometry><Point><coordinates>1,2</coordinates></Point>"
+        "</MultiGeometry>"
+    )
+    assert g.gtype == POINT and g.coords[0, 0] == 1.0
+    from nettopologysuite_spark.kernels.geom import GEOMETRYCOLLECTION
+
+    e = kml_loads("<MultiGeometry></MultiGeometry>")
+    assert e.gtype == GEOMETRYCOLLECTION and e.is_empty

@@ -191,9 +191,14 @@ def test_stream_plans_are_jvm_side(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
-        plan = q._jsq.explainInternal(False)  # last micro-batch physical plan
-        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-        # positive control: the executed plan really is inspectable and
-        # contains the native projection
-        assert "Project" in plan or "Aggregate" in plan
+        try:
+            # a False return means timeout: the query would still be
+            # running and its "last micro-batch" plan incomplete
+            assert q.awaitTermination(120), "stream did not finish in 120 s"
+            plan = q._jsq.explainInternal(False)  # last micro-batch physical plan
+            assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+            # positive control: the executed plan really is inspectable and
+            # contains the native projection
+            assert "Project" in plan or "Aggregate" in plan
+        finally:
+            q.stop()
