@@ -60,6 +60,19 @@ class Geom:
     rings: list[np.ndarray] = field(default_factory=list)
     parts: list["Geom"] = field(default_factory=list)
     srid: int = 0
+    # Z ordinates ride ALONGSIDE the 2-D arrays (``zs`` for point/line
+    # vertices, ``ring_zs`` per polygon ring) and are ignored by every
+    # topology kernel — the reference's own 2-D topology stance
+    # (``Geometries/CoordinateSequence.cs`` keeps Z but relate/overlay use
+    # XY) — while WKB/GML/KML round-trip them losslessly.
+    zs: np.ndarray | None = None
+    ring_zs: list[np.ndarray] | None = None
+
+    @property
+    def has_z(self) -> bool:
+        if self.zs is not None or self.ring_zs is not None:
+            return True
+        return any(p.has_z for p in self.parts)
 
     # -- basic accessors ------------------------------------------------
     @property
@@ -389,21 +402,42 @@ def wkb_dumps(g: Geom) -> bytes:
     return bytes(out)
 
 
+def _with_z(xy: np.ndarray, z: np.ndarray | None) -> np.ndarray:
+    """(n, 2) + aligned z → (n, 3) for serialization (no topology use)."""
+    out = np.empty((len(xy), 3), dtype=np.float64)
+    out[:, :2] = xy
+    out[:, 2] = z if z is not None and len(z) == len(xy) else math.nan
+    return out
+
+
 def _write_wkb(g: Geom, out: bytearray):
+    # Z-bearing geometries write ISO Z type codes (1000 + type, the
+    # WKBWriter.cs Strict=true flavor); 2-D geometries are byte-identical
+    # to before. Topology never reads Z back — passthrough only.
+    z = g.has_z
     out += b"\x01"
-    out += struct.pack("<I", g.gtype)
+    out += struct.pack("<I", g.gtype + (1000 if z else 0))
     if g.gtype == POINT:
         if g.is_empty:
-            out += struct.pack("<dd", math.nan, math.nan)
+            out += struct.pack("<ddd" if z else "<dd",
+                               *([math.nan] * (3 if z else 2)))
+        elif z:
+            c = _with_z(g.coords[:1], g.zs)
+            out += struct.pack("<ddd", c[0, 0], c[0, 1], c[0, 2])
         else:
             out += struct.pack("<dd", g.coords[0, 0], g.coords[0, 1])
     elif g.gtype == LINESTRING:
         c = g.coords if g.coords is not None else np.empty((0, 2))
+        if z:
+            c = _with_z(c, g.zs)
         out += struct.pack("<I", len(c))
         out += np.ascontiguousarray(c, dtype="<f8").tobytes()
     elif g.gtype == POLYGON:
         out += struct.pack("<I", len(g.rings))
-        for r in g.rings:
+        for i, r in enumerate(g.rings):
+            if z:
+                r = _with_z(r, g.ring_zs[i] if g.ring_zs and i < len(g.ring_zs)
+                            else None)
             out += struct.pack("<I", len(r))
             out += np.ascontiguousarray(r, dtype="<f8").tobytes()
     else:
@@ -440,11 +474,13 @@ class _WkbScanner:
             self.pos += 4
         ncoord = 2 + int(has_z) + int(has_m)
 
-        def read_pts(n: int) -> np.ndarray:
+        def read_pts(n: int) -> tuple[np.ndarray, np.ndarray | None]:
             nbytes = 8 * ncoord * n
             a = np.frombuffer(self.buf, dtype=end + "f8", count=ncoord * n, offset=self.pos)
             self.pos += nbytes
-            return a.astype(np.float64, copy=True).reshape(n, ncoord)[:, :2]
+            full = a.astype(np.float64, copy=True).reshape(n, ncoord)
+            # Z rides through (column 2 when the Z flag is set); M is dropped
+            return full[:, :2], (full[:, 2].copy() if has_z else None)
 
         def read_count() -> int:
             (n,) = struct.unpack_from(end + "I", self.buf, self.pos)
@@ -452,15 +488,22 @@ class _WkbScanner:
             return n
 
         if t == POINT:
-            c = read_pts(1)
+            c, z = read_pts(1)
             if np.isnan(c).all():
                 c = np.empty((0, 2), dtype=np.float64)
-            return Geom(POINT, coords=c, srid=srid)
+                z = None
+            return Geom(POINT, coords=c, srid=srid, zs=z)
         if t == LINESTRING:
-            return Geom(LINESTRING, coords=read_pts(read_count()), srid=srid)
+            c, z = read_pts(read_count())
+            return Geom(LINESTRING, coords=c, srid=srid, zs=z)
         if t == POLYGON:
-            rings = [read_pts(read_count()) for _ in range(read_count())]
-            return Geom(POLYGON, rings=rings, srid=srid)
+            rings, ring_zs = [], []
+            for _ in range(read_count()):
+                r, z = read_pts(read_count())
+                rings.append(r)
+                ring_zs.append(z)
+            return Geom(POLYGON, rings=rings, srid=srid,
+                        ring_zs=(ring_zs if has_z else None))
         if t in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
             parts = [self.geom() for _ in range(read_count())]
             return Geom(t, parts=parts, srid=srid)

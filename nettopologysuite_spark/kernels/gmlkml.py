@@ -7,9 +7,10 @@ pos/posList, outerBoundaryIs vs exterior), ``IO/KML/KMLReader.cs`` and
 ``IO/KML/KMLWriter.cs`` (KML ``coordinates`` are comma-packed x,y[,z],
 Multi* renders as MultiGeometry).
 
-The geometry model here is 2-D: Z ordinates present in the input are
-accepted and dropped on read (the reference preserves them; documented
-divergence consistent with the engine-wide 2-D coordinate model).
+The topology model is 2-D; Z ordinates PASS THROUGH (stored alongside the
+XY arrays on read, re-emitted on write — GML via srsDimension=3 / triple
+coordinates, KML via x,y,z packing) without participating in any kernel,
+matching the reference's preserve-Z / operate-XY stance.
 """
 
 from __future__ import annotations
@@ -41,29 +42,38 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
-def _coords_from_coordinates(text: str) -> np.ndarray:
+def _coords_from_coordinates(text: str) -> tuple[np.ndarray, np.ndarray | None]:
     """GML2/KML ``coordinates``: whitespace-separated tuples of
-    comma-separated ordinates (x,y[,z])."""
-    pts = []
+    comma-separated ordinates (x,y[,z]); z passes through when EVERY tuple
+    carries one."""
+    pts, zs = [], []
     for tok in (text or "").split():
         parts = tok.split(",")
         pts.append((float(parts[0]), float(parts[1])))
-    return np.array(pts, dtype=np.float64) if pts else np.empty((0, 2))
+        zs.append(float(parts[2]) if len(parts) > 2 else None)
+    if not pts:
+        return np.empty((0, 2)), None
+    xy = np.array(pts, dtype=np.float64)
+    if all(z is not None for z in zs):
+        return xy, np.array(zs, dtype=np.float64)
+    return xy, None
 
 
-def _coords_from_poslist(text: str, dim: int = 2) -> np.ndarray:
+def _coords_from_poslist(text: str, dim: int = 2) -> tuple[np.ndarray, np.ndarray | None]:
     vals = [float(v) for v in (text or "").split()]
     if not vals:
-        return np.empty((0, 2))
-    return np.array(vals, dtype=np.float64).reshape(-1, dim)[:, :2]
+        return np.empty((0, 2)), None
+    full = np.array(vals, dtype=np.float64).reshape(-1, dim)
+    return full[:, :2], (full[:, 2].copy() if dim >= 3 else None)
 
 
-def _child_coords(el: ET.Element) -> np.ndarray:
+def _child_coords(el: ET.Element) -> tuple[np.ndarray, np.ndarray | None]:
     """Coordinate payload of a GML geometry element, any of the four forms
-    (coordinates / pos / posList / GML2 coord elements with X/Y children,
-    ``GMLReader.cs`` ReadCoordinate ~110-137). An element whose children
-    match none of them raises instead of silently parsing as EMPTY; a
-    childless element is the explicit empty form."""
+    (coordinates / pos / posList / GML2 coord elements with X/Y[/Z]
+    children, ``GMLReader.cs`` ReadCoordinate ~110-137) → (xy, z | None).
+    An element whose children match none of them raises instead of
+    silently parsing as EMPTY; a childless element is the explicit empty
+    form."""
     coord_pts = []
     for ch in el:
         name = _local(ch.tag)
@@ -80,17 +90,20 @@ def _child_coords(el: ET.Element) -> np.ndarray:
             return _coords_from_poslist(ch.text, dim)
         if name == "coord":
             xy = {_local(sub.tag): float(sub.text) for sub in ch
-                  if _local(sub.tag) in ("X", "Y")}
+                  if _local(sub.tag) in ("X", "Y", "Z")}
             if "X" not in xy or "Y" not in xy:
                 raise ValueError("gml:coord requires X and Y children")
-            coord_pts.append((xy["X"], xy["Y"]))
+            coord_pts.append((xy["X"], xy["Y"], xy.get("Z")))
     if coord_pts:
-        return np.array(coord_pts, dtype=np.float64)
+        xy = np.array([(x, y) for x, y, _ in coord_pts], dtype=np.float64)
+        if all(z is not None for _, _, z in coord_pts):
+            return xy, np.array([z for _, _, z in coord_pts], dtype=np.float64)
+        return xy, None
     if len(el):
         raise ValueError(
             f"<{_local(el.tag)}> has no recognized coordinate child"
         )
-    return np.empty((0, 2))
+    return np.empty((0, 2)), None
 
 
 _MEMBER_TAGS = {
@@ -103,30 +116,47 @@ _MEMBER_TAGS = {
 def _parse_element(el: ET.Element, kml: bool = False) -> Geom:
     name = _local(el.tag)
     if name == "Point":
-        c = _child_coords(el)
+        c, z = _child_coords(el)
         if len(c) == 0:
             return Geom(POINT, coords=np.empty((0, 2)))
-        return point(float(c[0, 0]), float(c[0, 1]))
+        return Geom(POINT, coords=c[:1].copy(), zs=z[:1].copy() if z is not None else None)
     if name in ("LineString", "LinearRing"):
-        return linestring(_child_coords(el))
+        c, z = _child_coords(el)
+        g = linestring(c)
+        g.zs = z
+        return g
     if name == "Polygon":
         shell = None
         holes = []
+        shell_z = None
+        hole_zs = []
         for ch in el:
             cname = _local(ch.tag)
-            ring = None
+            ring = ring_z = None
             for ring_el in ch:
                 if _local(ring_el.tag) == "LinearRing":
-                    ring = _child_coords(ring_el)
+                    ring, ring_z = _child_coords(ring_el)
             if ring is None:
                 continue
             if cname in ("outerBoundaryIs", "exterior"):
-                shell = ring
+                shell, shell_z = ring, ring_z
             elif cname in ("innerBoundaryIs", "interior"):
                 holes.append(ring)
+                hole_zs.append(ring_z)
         if shell is None or len(shell) == 0:
             return Geom(POLYGON, rings=[])
-        return polygon(shell, holes)
+        g = polygon(shell, holes)
+        all_z = [shell_z] + hole_zs
+        if any(z is not None for z in all_z):
+            # rings the polygon() helper may have auto-closed get their z
+            # closed the same way
+            fixed = []
+            for r, z in zip(g.rings, all_z):
+                if z is not None and len(z) == len(r) - 1:
+                    z = np.concatenate([z, z[:1]])
+                fixed.append(z)
+            g.ring_zs = fixed
+        return g
     multi_types = {
         "MultiPoint": MULTIPOINT,
         "MultiLineString": MULTILINESTRING,
@@ -187,11 +217,21 @@ def kml_loads(text: str) -> Geom:
 # writers
 # ---------------------------------------------------------------------------
 
-def _coordinates_text(coords: np.ndarray) -> str:
+def _coordinates_text(coords: np.ndarray, z: np.ndarray | None = None) -> str:
+    if z is not None and len(z) == len(coords):
+        return " ".join(
+            f"{_fmt_num(x)},{_fmt_num(y)},{_fmt_num(zv)}"
+            for (x, y), zv in zip(coords, z)
+        )
     return " ".join(f"{_fmt_num(x)},{_fmt_num(y)}" for x, y in coords)
 
 
-def _poslist_text(coords: np.ndarray) -> str:
+def _poslist_text(coords: np.ndarray, z: np.ndarray | None = None) -> str:
+    if z is not None and len(z) == len(coords):
+        return " ".join(
+            f"{_fmt_num(x)} {_fmt_num(y)} {_fmt_num(zv)}"
+            for (x, y), zv in zip(coords, z)
+        )
     return " ".join(f"{_fmt_num(x)} {_fmt_num(y)}" for x, y in coords)
 
 
@@ -199,20 +239,26 @@ def _coords_of(g: Geom) -> np.ndarray:
     return g.coords if g.coords is not None else np.empty((0, 2))
 
 
+def _dim_attr(z: np.ndarray | None) -> str:
+    return ' srsDimension="3"' if z is not None else ""
+
+
 def _gml_element(g: Geom, version: int) -> str:
     p = "gml:"
     if g.gtype == POINT:
+        z = g.zs if not g.is_empty else None
         inner = (
-            f"<{p}coordinates>{_coordinates_text(_coords_of(g))}</{p}coordinates>"
+            f"<{p}coordinates>{_coordinates_text(_coords_of(g), z)}</{p}coordinates>"
             if version == 2
-            else f"<{p}pos>{_poslist_text(_coords_of(g))}</{p}pos>"
+            else f"<{p}pos{_dim_attr(z)}>{_poslist_text(_coords_of(g), z)}</{p}pos>"
         )
         return f"<{p}Point>{inner}</{p}Point>"
     if g.gtype == LINESTRING:
+        z = g.zs
         inner = (
-            f"<{p}coordinates>{_coordinates_text(_coords_of(g))}</{p}coordinates>"
+            f"<{p}coordinates>{_coordinates_text(_coords_of(g), z)}</{p}coordinates>"
             if version == 2
-            else f"<{p}posList>{_poslist_text(_coords_of(g))}</{p}posList>"
+            else f"<{p}posList{_dim_attr(z)}>{_poslist_text(_coords_of(g), z)}</{p}posList>"
         )
         return f"<{p}LineString>{inner}</{p}LineString>"
     if g.gtype == POLYGON:
@@ -221,17 +267,18 @@ def _gml_element(g: Geom, version: int) -> str:
         outer_tag = "outerBoundaryIs" if version == 2 else "exterior"
         inner_tag = "innerBoundaryIs" if version == 2 else "interior"
 
-        def ring(r):
+        def ring(i, r):
+            z = g.ring_zs[i] if g.ring_zs and i < len(g.ring_zs) else None
             inner = (
-                f"<{p}coordinates>{_coordinates_text(r)}</{p}coordinates>"
+                f"<{p}coordinates>{_coordinates_text(r, z)}</{p}coordinates>"
                 if version == 2
-                else f"<{p}posList>{_poslist_text(r)}</{p}posList>"
+                else f"<{p}posList{_dim_attr(z)}>{_poslist_text(r, z)}</{p}posList>"
             )
             return f"<{p}LinearRing>{inner}</{p}LinearRing>"
 
-        parts = [f"<{p}{outer_tag}>{ring(g.rings[0])}</{p}{outer_tag}>"]
-        for h in g.rings[1:]:
-            parts.append(f"<{p}{inner_tag}>{ring(h)}</{p}{inner_tag}>")
+        parts = [f"<{p}{outer_tag}>{ring(0, g.rings[0])}</{p}{outer_tag}>"]
+        for i, h in enumerate(g.rings[1:], start=1):
+            parts.append(f"<{p}{inner_tag}>{ring(i, h)}</{p}{inner_tag}>")
         return f"<{p}Polygon>{''.join(parts)}</{p}Polygon>"
     # GML3 renames the line/polygon containers to MultiCurve/MultiSurface
     # (GMLWriter.cs:301,309,330,338 with GMLVersion.Three); the reader
@@ -271,22 +318,27 @@ def gml_dumps(g: Geom, version: int = 2) -> str:
 def _kml_element(g: Geom) -> str:
     if g.gtype == POINT or g.gtype == LINESTRING:
         name = "Point" if g.gtype == POINT else "LineString"
+        z = g.zs if not g.is_empty else None
         return (
-            f"<{name}><coordinates>{_coordinates_text(_coords_of(g))}"
+            f"<{name}><coordinates>{_coordinates_text(_coords_of(g), z)}"
             f"</coordinates></{name}>"
         )
     if g.gtype == POLYGON:
         if not g.rings:
             return "<Polygon></Polygon>"
+
+        def _rz(i):
+            return g.ring_zs[i] if g.ring_zs and i < len(g.ring_zs) else None
+
         parts = [
             "<outerBoundaryIs><LinearRing><coordinates>"
-            + _coordinates_text(g.rings[0])
+            + _coordinates_text(g.rings[0], _rz(0))
             + "</coordinates></LinearRing></outerBoundaryIs>"
         ]
-        for h in g.rings[1:]:
+        for i, h in enumerate(g.rings[1:], start=1):
             parts.append(
                 "<innerBoundaryIs><LinearRing><coordinates>"
-                + _coordinates_text(h)
+                + _coordinates_text(h, _rz(i))
                 + "</coordinates></LinearRing></innerBoundaryIs>"
             )
         return f"<Polygon>{''.join(parts)}</Polygon>"

@@ -54,7 +54,7 @@ def test_kml_round_trip(wkt):
 def test_gml3_aliases_and_forms():
     """MultiSurface/surfaceMember and MultiCurve/curveMember parse as
     MultiPolygon/MultiLineString; posList + exterior/interior accepted;
-    3-D coordinates tuples accepted (Z dropped — 2-D engine model)."""
+    3-D coordinate tuples accepted (Z passes through; topology is 2-D)."""
     ms = gml_loads(
         '<gml:MultiSurface xmlns:gml="http://www.opengis.net/gml">'
         "<gml:surfaceMember><gml:Polygon><gml:exterior><gml:LinearRing>"
@@ -121,7 +121,7 @@ def test_empty_geometries_round_trip():
 
 
 def test_gml3_pos_with_z_and_gc_type_stability():
-    """A 3-D gml:pos parses (Z dropped), srsDimension on the geometry
+    """A 3-D gml:pos parses (Z passes through), srsDimension on the geometry
     element is honoured, and a homogeneous GEOMETRYCOLLECTION keeps its
     type through a GML round-trip (narrowing is KML-only)."""
     z = gml_loads(
@@ -251,3 +251,56 @@ def test_kml_single_child_multigeometry_unwraps():
 
     e = kml_loads("<MultiGeometry></MultiGeometry>")
     assert e.gtype == GEOMETRYCOLLECTION and e.is_empty
+
+
+def test_z_passthrough_roundtrips():
+    """Z ordinates survive WKB (ISO Z codes), GML2/GML3, and KML
+    round-trips while topology stays 2-D (WKBWriter.cs Z flags)."""
+    import numpy as np
+
+    from nettopologysuite_spark.kernels.geom import (
+        Geom,
+        POLYGON,
+        wkb_dumps,
+        wkb_loads,
+    )
+    from nettopologysuite_spark.kernels.predicates import intersects
+
+    pt = Geom(POINT, coords=np.array([[1.0, 2.0]]), zs=np.array([7.5]))
+    ls = Geom(LINESTRING, coords=np.array([[0.0, 0.0], [3.0, 4.0]]),
+              zs=np.array([1.0, 2.0]))
+    ring = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    pg = Geom(POLYGON, rings=[ring], ring_zs=[np.array([5.0, 5.0, 6.0, 6.0, 5.0])])
+    for g in (pt, ls, pg):
+        # WKB: ISO Z type code on the wire, Z intact after the round trip
+        blob = wkb_dumps(g)
+        assert int.from_bytes(blob[1:5], "little") == g.gtype + 1000
+        back = wkb_loads(blob)
+        assert back.gtype == g.gtype and back.has_z
+        if g.zs is not None:
+            assert np.array_equal(back.zs, g.zs)
+        else:
+            assert np.array_equal(back.ring_zs[0], g.ring_zs[0])
+        # GML2 (x,y,z coordinates), GML3 (srsDimension=3), KML (x,y,z)
+        for txt, loads in ((gml_dumps(g, 2), gml_loads),
+                           (gml_dumps(g, 3), gml_loads),
+                           (kml_dumps(g), kml_loads)):
+            b2 = loads(txt)
+            assert b2.has_z, txt
+            z2 = b2.zs if b2.zs is not None else b2.ring_zs[0]
+            z1 = g.zs if g.zs is not None else g.ring_zs[0]
+            assert np.array_equal(z2, z1), txt
+        assert "srsDimension=\"3\"" in gml_dumps(g, 3)
+    # 2-D output is byte-identical to before (no Z flag)
+    g2d = wkb_loads(wkb_dumps(Geom(POINT, coords=np.array([[1.0, 2.0]]))))
+    assert not g2d.has_z
+    # EWKB-flagged Z input (0x80000000) also reads with Z intact
+    import struct
+
+    ewkb = b"\x01" + struct.pack("<I", 0x80000001) + struct.pack("<ddd", 1, 2, 9)
+    ge = wkb_loads(ewkb)
+    assert ge.has_z and ge.zs[0] == 9.0
+    # topology ignores Z entirely
+    a = wkb_loads(wkb_dumps(pg))
+    b = Geom(POLYGON, rings=[ring + 1.0])
+    assert intersects(a, b) == intersects(Geom(POLYGON, rings=[ring]), b)
