@@ -78,3 +78,88 @@ def run_stage(
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "_lineage"))
+
+
+# ---------------------------------------------------------------------------
+# snapshot log (Iceberg metadata-log analog)
+# ---------------------------------------------------------------------------
+
+class SnapshotLog:
+    """Append-only snapshot log over a pipeline root — the navigable analog
+    of Iceberg's metadata log:
+
+    ========================  =============================================
+    Iceberg                   sandbox analog
+    ========================  =============================================
+    snapshot                  ``snap-<id>.json`` (id, parent, inputs,
+                              committed stage dirs, operation)
+    metadata-log append       write ``.tmp`` then atomic ``os.rename`` —
+                              a crash mid-commit leaves only the tmp,
+                              which readers ignore (resume sees N-1)
+    manifest validity         every stage dir recorded must carry its
+                              ``_STAGE_OK`` marker (commit refuses dirty
+                              stages)
+    time travel               ``read_at(spark, snapshot_id, stage)``
+    current snapshot pointer  highest committed id (no mutable pointer
+                              file — append-only is the source of truth)
+    ========================  =============================================
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.dir = os.path.join(root, "_snapshots")
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- reading ----------------------------------------------------------
+    def snapshot_ids(self) -> list[int]:
+        ids = []
+        for name in os.listdir(self.dir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                ids.append(int(name[5:-5]))
+        return sorted(ids)
+
+    def get(self, snapshot_id: int) -> dict:
+        with open(os.path.join(self.dir, f"snap-{snapshot_id:08d}.json")) as f:
+            return json.load(f)
+
+    def latest(self) -> dict | None:
+        ids = self.snapshot_ids()
+        return self.get(ids[-1]) if ids else None
+
+    # -- committing -------------------------------------------------------
+    def commit(self, stages: dict[str, str], inputs: list[str] | None = None,
+               operation: str = "append") -> int:
+        """Append a snapshot recording committed stage dirs. Atomic: the
+        JSON lands under a temp name and renames into place LAST, so any
+        failure before the rename leaves the log at snapshot N-1."""
+        for name, path in stages.items():
+            if not stage_is_committed(path):
+                raise ValueError(
+                    f"stage {name!r} at {path} has no _STAGE_OK marker — "
+                    "refusing to commit an unfinished stage"
+                )
+        prev = self.latest()
+        snap_id = (prev["snapshot_id"] + 1) if prev else 1
+        doc = {
+            "snapshot_id": snap_id,
+            "parent_id": prev["snapshot_id"] if prev else None,
+            "committed_at": time.time(),
+            "operation": operation,
+            "inputs": list(inputs or []),
+            "stages": dict(stages),
+        }
+        final = os.path.join(self.dir, f"snap-{snap_id:08d}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=2)
+        os.rename(tmp, final)  # the commit point
+        return snap_id
+
+    # -- time travel ------------------------------------------------------
+    def read_at(self, spark: SparkSession, snapshot_id: int,
+                stage: str) -> DataFrame:
+        """The stage's data as of the given snapshot."""
+        snap = self.get(snapshot_id)
+        if stage not in snap["stages"]:
+            raise KeyError(f"snapshot {snapshot_id} has no stage {stage!r}")
+        return spark.read.parquet(os.path.join(snap["stages"][stage], "data"))

@@ -123,3 +123,55 @@ def test_simhash_near_dup_property(spark, sf_dir):
     fp1 = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
     fp2 = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
     assert fp1 == fp2 and len(fp1) == docs.count()
+
+
+def test_snapshot_log_commit_travel_and_failed_commit_resume(spark, tmp_path):
+    """Iceberg-analog snapshot log: append-only commits with parent links,
+    time travel via read_at, dirty-stage refusal, and resume from snapshot
+    N-1 after a simulated failed commit (tmp file present, rename never
+    happened)."""
+    import json
+    import os
+
+    from nettopologysuite_spark.engine.lineage import SnapshotLog, run_stage
+
+    root = str(tmp_path / "pipe")
+    s1 = os.path.join(root, "stage1")
+    s2 = os.path.join(root, "stage2")
+    run_stage(spark, s1, lambda: spark.range(10).withColumnRenamed("id", "k"),
+              key_col="k", stage_name="stage1")
+    log = SnapshotLog(root)
+    sid1 = log.commit({"stage1": s1}, inputs=["range(10)"])
+    assert sid1 == 1 and log.latest()["parent_id"] is None
+
+    run_stage(spark, s2, lambda: spark.range(20).withColumnRenamed("id", "k"),
+              key_col="k", stage_name="stage2")
+    sid2 = log.commit({"stage1": s1, "stage2": s2}, operation="append")
+    assert sid2 == 2 and log.latest()["parent_id"] == 1
+
+    # time travel: snapshot 1 has no stage2; stage1 readable at both
+    assert log.read_at(spark, 1, "stage1").count() == 10
+    assert log.read_at(spark, 2, "stage2").count() == 20
+    import pytest
+
+    with pytest.raises(KeyError):
+        log.read_at(spark, 1, "stage2")
+
+    # dirty stage refusal: no _STAGE_OK marker → commit raises
+    dirty = os.path.join(root, "stage3")
+    os.makedirs(dirty, exist_ok=True)
+    with pytest.raises(ValueError):
+        log.commit({"stage3": dirty})
+
+    # simulated failed commit: a snap json written to .tmp but never
+    # renamed (crash before the commit point) is invisible — the log
+    # resumes from snapshot N-1
+    tmp = os.path.join(root, "_snapshots", "snap-00000003.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"snapshot_id": 3, "stages": {}}, f)
+    log2 = SnapshotLog(root)
+    assert log2.snapshot_ids() == [1, 2]
+    assert log2.latest()["snapshot_id"] == 2
+    # and the NEXT commit appends cleanly as id 3
+    sid3 = log2.commit({"stage1": s1}, operation="overwrite")
+    assert sid3 == 3 and log2.latest()["parent_id"] == 2
