@@ -232,3 +232,64 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
     # session's lifetime — drop it so repeated drains don't accumulate
     spark.catalog.dropTempView(name)
     return rows
+
+
+def stream_stream_tile_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    schema: StructType | str,
+    grid: Grid,
+    ts: str = "ts",
+    x: str = "x",
+    y: str = "y",
+    id_col: str = "pid",
+    join_interval: str = "1 minute",
+    watermark: str = "2 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-stream spatial join: two point streams equi-joined on their
+    grid cell, with an event-time band |r.ts − l.ts| ≤ ``join_interval``.
+
+    The tile assignment is the identical codegen projection as the batch
+    path, so a cell match is exactly the batch join's blocking step. Both
+    sides carry watermarks and the join condition carries the time band —
+    together they bound the state store: a buffered row is evictable once
+    the other side's watermark passes its timestamp + interval (Spark's
+    stream-stream inner-join state cleanup), giving O(rate × horizon)
+    state at any stream length instead of unbounded buffering.
+
+    ``max_files_per_trigger`` throttles the file source (one micro-batch
+    per file batch) — used by the state-bound gate to force watermark
+    progression across micro-batches.
+    """
+
+    def _side(src: str, tag: str) -> DataFrame:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return (
+            reader.parquet(src)
+            .withColumn("cell_id", cell_col(grid, x, y))
+            .select(
+                F.col(id_col).alias(f"{tag}_{id_col}"),
+                F.col(ts).alias(f"{tag}_ts"),
+                F.col("cell_id").alias(f"{tag}_cell"),
+            )
+            .withWatermark(f"{tag}_ts", watermark)
+        )
+
+    lt = _side(left_dir, "l")
+    rt = _side(right_dir, "r")
+    cond = (
+        (F.col("l_cell") == F.col("r_cell"))
+        & (F.col("r_ts") >= F.expr(f"l_ts - INTERVAL {join_interval}"))
+        & (F.col("r_ts") <= F.expr(f"l_ts + INTERVAL {join_interval}"))
+    )
+    return (
+        lt.join(rt, cond, "inner")
+        .select(
+            F.col(f"l_{id_col}"), F.col(f"r_{id_col}"),
+            F.col("l_cell").alias("cell_id"), "l_ts", "r_ts",
+        )
+    )

@@ -202,3 +202,88 @@ def test_stream_plans_are_jvm_side(spark, tmp_path):
             assert "Project" in plan or "Aggregate" in plan
         finally:
             q.stop()
+
+
+def test_stream_stream_tile_join_matches_batch(spark, tmp_path):
+    """Two point streams joined on cell + event-time band: the streamed
+    result set equals the equivalent batch join, pair-for-pair."""
+    from nettopologysuite_spark.streaming import stream_stream_tile_join
+
+    lsrc = str(tmp_path / "l")
+    rsrc = str(tmp_path / "r")
+    ck = str(tmp_path / "ck")
+    lrows = [(i, _t(i % 6, (i * 13) % 60), float(i % 97), float((i * 7) % 89))
+             for i in range(150)]
+    rrows = [(1000 + i, _t(i % 6, (i * 29) % 60), float((i * 3) % 97),
+              float((i * 11) % 89)) for i in range(150)]
+    _write_points(spark, lsrc, lrows)
+    _write_points(spark, rsrc, rrows)
+
+    got = run_available_now(
+        stream_stream_tile_join(spark, lsrc, rsrc, PT_SCHEMA, GRID),
+        ck, output_mode="append",
+    )
+    stream_pairs = {(r.l_pid, r.r_pid) for r in got}
+
+    cell = F.expr(GRID.sql_cell_expr("x", "y"))
+    lb = (spark.createDataFrame(lrows, PT_SCHEMA).withColumn("cell_id", cell)
+          .select(F.col("pid").alias("l_pid"), F.col("ts").alias("l_ts"),
+                  F.col("cell_id").alias("l_cell")))
+    rb = (spark.createDataFrame(rrows, PT_SCHEMA).withColumn("cell_id", cell)
+          .select(F.col("pid").alias("r_pid"), F.col("ts").alias("r_ts"),
+                  F.col("cell_id").alias("r_cell")))
+    batch = lb.join(rb, (F.col("l_cell") == F.col("r_cell"))
+                    & (F.col("r_ts") >= F.expr("l_ts - INTERVAL 1 minute"))
+                    & (F.col("r_ts") <= F.expr("l_ts + INTERVAL 1 minute")))
+    batch_pairs = {(r.l_pid, r.r_pid) for r in batch.collect()}
+    assert stream_pairs == batch_pairs
+    assert len(stream_pairs) > 0
+
+
+def test_stream_stream_join_state_is_bounded(spark, tmp_path):
+    """The watermark + time-band join condition evicts buffered rows: after
+    draining two file batches 30 minutes apart (one micro-batch each via
+    maxFilesPerTrigger), the join's state store holds fewer rows than the
+    total ingested — unbounded buffering would hold them all."""
+    import uuid
+
+    from nettopologysuite_spark.streaming import stream_stream_tile_join
+
+    lsrc = str(tmp_path / "l")
+    rsrc = str(tmp_path / "r")
+    ck = str(tmp_path / "ck")
+    early_l = [(i, _t(0, i % 60), float(i % 97), float((i * 7) % 89))
+               for i in range(100)]
+    early_r = [(500 + i, _t(0, (i * 3) % 60), float((i * 3) % 97),
+                float((i * 11) % 89)) for i in range(100)]
+    late_l = [(200 + i, _t(30, i % 60), float(i % 97), float((i * 7) % 89))
+              for i in range(20)]
+    late_r = [(700 + i, _t(30, i % 60), float((i * 3) % 97),
+               float((i * 11) % 89)) for i in range(20)]
+    # two files per side, written as separate appends → separate batches
+    _write_points(spark, lsrc, early_l)
+    _write_points(spark, rsrc, early_r)
+    _write_points(spark, lsrc, late_l)
+    _write_points(spark, rsrc, late_r)
+
+    df = stream_stream_tile_join(spark, lsrc, rsrc, PT_SCHEMA, GRID,
+                                 max_files_per_trigger=1)
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    q = (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    try:
+        assert q.awaitTermination(180), "drain timed out"
+        progresses = [p for p in q.recentProgress if p and p.get("stateOperators")]
+        assert progresses, "no state operator progress recorded"
+        last_state = progresses[-1]["stateOperators"][0]
+        total_ingested = 240
+        assert last_state["numRowsTotal"] < total_ingested, last_state
+        # the early horizon (minute 0) is fully evicted once the watermark
+        # reaches minute ~28: only the late batch can remain buffered
+        assert last_state["numRowsTotal"] <= 40, last_state
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
