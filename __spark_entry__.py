@@ -363,6 +363,27 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dedup(docs)
 
 
+def q_knn_join_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended-geometry kNN join: for each nation octagon (query), the 5
+    nearest event rectangles by facet distance — doubling-radius rounds on
+    the big×big machinery, vectorized batch_distance2 refine, STRtree-style
+    retirement (k-th distance ≤ examined radius)."""
+    from nettopologysuite_spark.engine.joins import knn_join_geom
+    from nettopologysuite_spark.kernels.geom import wkb_dumps
+
+    rects = _event_rects(spark, sf_dir)
+    keys = _nation_keys(spark, sf_dir)
+    octs = spark.createDataFrame(
+        [(f"oct-{k}", wkb_dumps(nation_octagon_geom(k))) for k in keys],
+        "poly_id string, oct_wkb binary",
+    )
+    out = knn_join_geom(
+        octs, rects, Grid(0.0, 0.0, 100.0, 100.0, level=5), k=5,
+        q_id="poly_id", q_wkb="oct_wkb", d_id="pid", d_wkb="geom_wkb",
+    )
+    return out.select("poly_id", "rank", "pid", "dist2")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode pipeline: refs → deterministic synthesized PPM/BMP
     bytes (fetch stand-in) → REAL pure-numpy decode → exact channel stats.
@@ -656,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_poly_contains": q_poly_poly_contains,
         "within_dist_join_geom": q_within_dist_join_geom,
         "media_features": q_media_features,
+        "knn_join_geom": q_knn_join_geom,
         "media_stats": q_media_stats,
         "media_dedup": q_media_dedup,
         "geo_dedup": q_geo_dedup,
@@ -950,6 +972,20 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE "
             + derive.rect_octagon_withindist_sql_pred(
                 "p.x", "p.y", "p.w", "p.h", "n.n_nationkey", 2)
+        ),
+        "knn_join_geom": (
+            f"SELECT poly_id, rank, pid, dist2 FROM ("
+            f"  SELECT 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id, "
+            f"         p.pid, "
+            + derive.rect_octagon_dist2_sql(
+                "p.x", "p.y", "p.w", "p.h", "n.n_nationkey")
+            + " AS dist2, "
+            f"         ROW_NUMBER() OVER (PARTITION BY n.n_nationkey ORDER BY "
+            + derive.rect_octagon_dist2_sql(
+                "p.x", "p.y", "p.w", "p.h", "n.n_nationkey")
+            + " ASC, p.pid ASC) AS rank "
+            f"  FROM (SELECT pid, x, y, (1 + pid % 3) AS w, (1 + pid % 2) AS h "
+            f"        FROM {_PTS} p0) p CROSS JOIN nation n) t WHERE rank <= 5"
         ),
         "dedup_exact": (
             "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups "

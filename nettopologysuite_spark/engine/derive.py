@@ -273,6 +273,58 @@ def rect_octagon_withindist_sql_pred(x: str, y: str, w: str, h: str,
     return "(" + " OR ".join(terms) + ")"
 
 
+def rect_octagon_dist2_sql(x: str, y: str, w: str, h: str, nk: str) -> str:
+    """SQL expression: squared facet distance between the axis-aligned rect
+    and nation {nk}'s octagon — 0.0 when they intersect (SAT pred), else
+    LEAST over the same vertex/facet feature sweep ``batch_distance2``
+    evaluates, each term the identical IEEE double tree (3-case
+    point-segment: endpoint |p−a|² / endpoint |p−b|² / perpendicular
+    cross²·len²⁻¹), so Spark and DuckDB produce bit-identical values and
+    rank orders."""
+    cx = f"(10 + ({nk} % 5) * 20)"
+    cy = f"(10 + (CAST(FLOOR({nk} / 5) AS BIGINT)) * 20)"
+    s = f"(1 + ({nk} % 2))"
+    terms = []
+    n = len(OCTAGON)
+
+    def pt_seg(qx, qy, ax, ay, bx, by, ex, ey, len2):
+        rx = f"({qx} - {ax})"; ry = f"({qy} - {ay})"
+        sx = f"({qx} - {bx})"; sy = f"({qy} - {by})"
+        dot = f"({rx} * {ex} + {ry} * {ey})"
+        cross = f"({rx} * {ey} - {ry} * {ex})"
+        return (
+            f"(CASE WHEN {dot} <= 0.0 THEN {rx} * {rx} + {ry} * {ry} "
+            f"WHEN {dot} >= {len2} THEN {sx} * {sx} + {sy} * {sy} "
+            f"ELSE {cross} * {cross} / {len2} END)"
+        )
+
+    corners = [(f"({x} - {w})", f"({y} - {h})"), (f"({x} + {w})", f"({y} - {h})"),
+               (f"({x} + {w})", f"({y} + {h})"), (f"({x} - {w})", f"({y} + {h})")]
+    for i in range(n):
+        x1t, y1t = OCTAGON[i]
+        x2t, y2t = OCTAGON[(i + 1) % n]
+        ex_t, ey_t = x2t - x1t, y2t - y1t
+        ax = f"({cx} + {s} * {x1t})"; ay = f"({cy} + {s} * {y1t})"
+        bx = f"({cx} + {s} * {x2t})"; by = f"({cy} + {s} * {y2t})"
+        ex = f"({s} * {ex_t})"; ey = f"({s} * {ey_t})"
+        len2 = f"({ex_t * ex_t + ey_t * ey_t} * {s} * {s})"
+        for qx, qy in corners:
+            terms.append(pt_seg(qx, qy, ax, ay, bx, by, ex, ey, len2))
+    ring = corners + [corners[0]]
+    for tx, ty in OCTAGON:
+        qx = f"({cx} + {s} * {tx})"; qy = f"({cy} + {s} * {ty})"
+        for kseg in range(4):
+            ax, ay = ring[kseg]
+            bx, by = ring[kseg + 1]
+            ex = f"({bx} - {ax})"; ey = f"({by} - {ay})"
+            len2 = f"({ex} * {ex} + {ey} * {ey})"
+            terms.append(pt_seg(qx, qy, ax, ay, bx, by, ex, ey, len2))
+    sat = rect_octagon_sql_pred(x, y, w, h, nk)
+    return (
+        f"(CASE WHEN {sat} THEN 0.0 ELSE LEAST({', '.join(terms)}) END)"
+    )
+
+
 _OCT_NORMALS = [(3, 1), (1, 3), (1, -3), (3, -1)]  # edge normals of OCTAGON
 
 

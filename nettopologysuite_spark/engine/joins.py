@@ -1054,3 +1054,153 @@ def within_distance_join_geom(
         within_distance_refine_udf(d)(F.col(left_wkb), F.col(right_wkb))
     )
     return refined.select(left_id, right_id, "cell_id")
+
+
+def distance2_refine_udf():
+    """Double pandas UDF (data_wkb, query_wkb) → squared facet distance.
+
+    Queries factorize to uniques (each prepared once), data geometries
+    decode into one columnar ``GeomBatch``; each query group evaluates
+    through ``batch_distance2`` (intersects short-circuit to 0, else the
+    exact vertex/facet sweep whose value tree matches the SQL oracles
+    term for term)."""
+    from ..kernels.batchgeom import GeomBatch, PreparedRight, batch_distance2
+    from ..kernels.geom import wkb_loads
+
+    @pandas_udf("double")
+    def _dist2(dwkb: pd.Series, qwkb: pd.Series) -> pd.Series:
+        n = len(dwkb)
+        out = np.zeros(n, dtype=np.float64)
+        if n == 0:
+            return pd.Series(out)
+        qcodes, quniq = pd.factorize(qwkb.to_numpy(object))
+        dcodes, duniq = pd.factorize(dwkb.to_numpy(object))
+        gb = GeomBatch.from_wkb([bytes(b) for b in duniq])
+        for j, blob in enumerate(quniq):
+            sel = qcodes == j
+            pq = PreparedRight(wkb_loads(bytes(blob)))
+            out[sel] = batch_distance2(gb, dcodes[sel], pq)
+        return pd.Series(out)
+
+    return _dist2
+
+
+def knn_join_geom(
+    queries: DataFrame,
+    data: DataFrame,
+    grid: Grid,
+    k: int,
+    q_id: str = "q_id",
+    q_wkb: str = "q_wkb",
+    d_id: str = "d_id",
+    d_wkb: str = "d_wkb",
+    r0: float | None = None,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """k nearest DATA geometries per QUERY geometry by facet distance —
+    the extended-geometry kNN join (WKB × WKB; the distributed analog of
+    ``Operation/Distance/IndexedFacetDistance.cs`` under the STRtree
+    branch-and-bound ``STRtree.cs:556`` retirement rule).
+
+    Doubling-radius rounds on the big×big machinery: active queries
+    explode to cells within radius R of their envelope, candidates come
+    from the native cell equi-join with the codegen envelope-distance
+    prefilter + reference-cell dedup, and the vectorized ``batch_distance2``
+    refine scores each surviving pair. A query RETIRES once it holds k
+    neighbors with k-th distance² ≤ R² — every unexamined geometry is
+    provably farther (its envelope distance alone exceeds R). Remaining
+    queries re-join at 2R. Driver coordination is one boolean ``isEmpty``
+    scalar per round, O(log(domain/cell)) rounds; no geometry ever
+    reaches the driver.
+    """
+    import math
+
+    from pyspark.sql import Window
+    from .tiling import envelope_struct_udf, explode_cover_native
+
+    env_udf = envelope_struct_udf()
+    cell = min(grid.cell_w, grid.cell_h)
+    R = float(r0) if r0 else 2.0 * cell
+    diag = math.hypot(grid.maxx - grid.minx, grid.maxy - grid.miny)
+    active = queries.select(q_id, q_wkb)
+    chunks: list[DataFrame] = []
+    w = Window.partitionBy(q_id).orderBy(F.col("dist2").asc(), F.col(d_id).asc())
+
+    # data side tiled ONCE (radius-independent); reused every round
+    dc = explode_cover_native(
+        data.select(F.col(d_id), F.col(d_wkb), env_udf(F.col(d_wkb)).alias("_env")),
+        grid,
+    ).select(
+        d_id, d_wkb,
+        F.col("_env.minx").alias("_dminx"), F.col("_env.miny").alias("_dminy"),
+        F.col("_env.maxx").alias("_dmaxx"), F.col("_env.maxy").alias("_dmaxy"),
+        "cell_id",
+    ).persist()
+
+    for _ in range(max_rounds):
+        last = R >= diag
+        qc = explode_cover_native(
+            active.select(
+                F.col(q_id), F.col(q_wkb),
+                env_udf(F.col(q_wkb)).alias("_e0"),
+            ).withColumn(
+                "_env",
+                F.struct(
+                    (F.col("_e0.minx") - F.lit(R)).alias("minx"),
+                    (F.col("_e0.miny") - F.lit(R)).alias("miny"),
+                    (F.col("_e0.maxx") + F.lit(R)).alias("maxx"),
+                    (F.col("_e0.maxy") + F.lit(R)).alias("maxy"),
+                ),
+            ),
+            grid,
+        ).select(
+            q_id, q_wkb,
+            F.col("_e0.minx").alias("_qminx"), F.col("_e0.miny").alias("_qminy"),
+            F.col("_e0.maxx").alias("_qmaxx"), F.col("_e0.maxy").alias("_qmaxy"),
+            "cell_id",
+        )
+        gapx = F.greatest(
+            F.lit(0.0),
+            F.greatest(F.col("_qminx") - F.col("_dmaxx"),
+                       F.col("_dminx") - F.col("_qmaxx")),
+        )
+        gapy = F.greatest(
+            F.lit(0.0),
+            F.greatest(F.col("_qminy") - F.col("_dmaxy"),
+                       F.col("_dminy") - F.col("_qmaxy")),
+        )
+        cand = (
+            qc.join(dc.hint("shuffle_hash"), "cell_id")
+            .filter(gapx * gapx + gapy * gapy <= F.lit(R * R))
+            .filter(
+                _ref_cell_col(
+                    grid,
+                    F.greatest(F.col("_qminx") - F.lit(R), F.col("_dminx")),
+                    F.greatest(F.col("_qminy") - F.lit(R), F.col("_dminy")),
+                ) == F.col("cell_id")
+            )
+            .withColumn("dist2", distance2_refine_udf()(F.col(d_wkb), F.col(q_wkb)))
+        )
+        ranked = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, "rank", d_id, "dist2")
+        )
+        stats = ranked.groupBy(q_id).agg(
+            F.count("*").alias("_n"), F.max("dist2").alias("_dk")
+        )
+        done_ids = stats if last else stats.filter(
+            (F.col("_n") == k) & (F.col("_dk") <= F.lit(R * R))
+        )
+        done = ranked.join(done_ids.select(q_id), q_id, "left_semi") \
+            .localCheckpoint(eager=True)
+        chunks.append(done)
+        active = active.join(done_ids.select(q_id), q_id, "left_anti")
+        if last or active.isEmpty():
+            break
+        R *= 2.0
+    dc.unpersist()
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -774,3 +774,86 @@ def batch_within_distance(
     # left point-features against right vertices are covered by pass 1
     # (every left vertex probed all right segments AND right points).
     return res
+
+
+def _pt_seg_dist2_min(qx, qy, x1, y1, x2, y2):
+    """(nq,) double: min squared distance from point i to ANY segment —
+    the same division-free-branch / divided-perpendicular expression tree
+    the SQL oracles generate (dot ≤ 0 → |p−a|²; dot ≥ len² → |p−b|²; else
+    cross²/len²), so LEAST/np.min agree bit-for-bit. Chunked."""
+    nq, ns = len(qx), len(x1)
+    out = np.full(nq, np.inf)
+    if nq == 0 or ns == 0:
+        return out
+    ex = x2 - x1; ey = y2 - y1
+    len2 = ex * ex + ey * ey
+    step = max(1, _SEG_CHUNK // ns)
+    for s in range(0, nq, step):
+        px = qx[s:s + step][:, None]; py = qy[s:s + step][:, None]
+        rx = px - x1[None, :]; ry = py - y1[None, :]
+        dot = rx * ex[None, :] + ry * ey[None, :]
+        da2 = rx * rx + ry * ry
+        sx = px - x2[None, :]; sy = py - y2[None, :]
+        db2 = sx * sx + sy * sy
+        cross = rx * ey[None, :] - ry * ex[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d2 = np.where(
+                dot <= 0.0, da2,
+                np.where(dot >= len2[None, :], db2,
+                         cross * cross / len2[None, :]),
+            )
+        out[s:s + step] = d2.min(axis=1)
+    return out
+
+
+def batch_distance2(
+    gb: GeomBatch, lefts: np.ndarray, right: Geom | PreparedRight
+) -> np.ndarray:
+    """Vectorized squared distance(left_i, right) for every left index —
+    0.0 when they intersect, else the min over the vertex/facet feature
+    sweep (both directions), which is exact for disjoint geometries (the
+    closest pair is always vertex-to-facet). The value tree matches the
+    SQL oracle generators term for term."""
+    pr = right if isinstance(right, PreparedRight) else PreparedRight(right)
+    touching = batch_intersects(gb, lefts, pr)
+    lefts = np.asarray(lefts, dtype=np.int64)
+    n = len(lefts)
+    res = np.zeros(n, dtype=np.float64)
+    pend = ~touching
+    if not pend.any() or pr.empty:
+        return res
+    sub = np.flatnonzero(pend)
+    ls = lefts[sub]
+    best = np.full(len(sub), np.inf)
+    # left vertices × right facets / right point features
+    vcnt = gb.v_start[ls + 1] - gb.v_start[ls]
+    vidx, vowner = _ranges_concat(gb.v_start[ls], vcnt)
+    if len(vidx):
+        lvx = gb.vx[vidx]; lvy = gb.vy[vidx]
+        d2 = _pt_seg_dist2_min(lvx, lvy, pr.rax, pr.ray, pr.rbx, pr.rby)
+        for px, py in pr.point_xy:
+            d2 = np.minimum(d2, (lvx - px) ** 2 + (lvy - py) ** 2)
+        np.minimum.at(best, vowner, d2)
+    # right vertices × left segments
+    scnt = gb.s_start[ls + 1] - gb.s_start[ls]
+    sidx, sowner = _ranges_concat(gb.s_start[ls], scnt)
+    if len(sidx) and len(pr.rvx):
+        x1 = gb.sax[sidx]; y1 = gb.say[sidx]
+        x2 = gb.sbx[sidx]; y2 = gb.sby[sidx]
+        ex = x2 - x1; ey = y2 - y1
+        len2 = ex * ex + ey * ey
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for qx, qy in zip(pr.rvx, pr.rvy):
+                rx = qx - x1; ry = qy - y1
+                dot = rx * ex + ry * ey
+                da2 = rx * rx + ry * ry
+                sx = qx - x2; sy = qy - y2
+                db2 = sx * sx + sy * sy
+                cross = rx * ey - ry * ex
+                d2 = np.where(
+                    dot <= 0.0, da2,
+                    np.where(dot >= len2, db2, cross * cross / len2),
+                )
+                np.minimum.at(best, sowner, d2)
+    res[sub] = best
+    return res

@@ -270,3 +270,26 @@ def test_batch_within_distance_matches_facet_distance():
                 assert bool(got[i]) == exp, (trial, i, d, g.type_name)
                 total += 1
     assert total > 2000
+
+
+def test_batch_distance2_matches_facet_distance():
+    """batch_distance2 vs the scalar facet-distance kernel (values agree to
+    float tolerance; zeros exactly on intersecting pairs)."""
+    from nettopologysuite_spark.kernels.batchgeom import batch_distance2
+    from nettopologysuite_spark.kernels.facetdist import facet_distance
+
+    rng = np.random.default_rng(53)
+    total = 0
+    for trial in range(25):
+        lefts = [_rand_geom(rng, rng.integers(0, 4)) for _ in range(30)]
+        right = _rand_geom(rng, rng.integers(0, 4)) if trial % 4 else _poly_with_hole(rng)
+        gb = GeomBatch.from_wkb([wkb_dumps(g) for g in lefts])
+        got = batch_distance2(gb, np.arange(len(lefts), dtype=np.int64), right)
+        for i, g in enumerate(lefts):
+            exp = facet_distance(g, right)
+            if exp == 0.0:
+                assert got[i] == 0.0, (trial, i)
+            else:
+                assert abs(np.sqrt(got[i]) - exp) < 1e-9 * max(1.0, exp), (trial, i)
+            total += 1
+    assert total > 700

@@ -149,3 +149,61 @@ def test_within_dist_join_geom_matches_bruteforce(spark, sf_dir):
                 expect.add((r["pid"], pid))
     assert set(got) == expect
     assert len(expect) > 0
+
+
+def test_knn_join_geom_matches_bruteforce(spark, sf_dir):
+    """Doubling-radius geometry kNN vs per-pair facet distance over the
+    full cross product; exact ranks and (squared) distances."""
+    import numpy as np
+
+    import __spark_entry__ as E
+    from nettopologysuite_spark.engine.derive import nation_octagon_geom
+    from nettopologysuite_spark.kernels.facetdist import facet_distance
+    from nettopologysuite_spark.kernels.geom import wkb_loads
+
+    got = {(r["poly_id"], r["rank"]): (r["pid"], r["dist2"])
+           for r in E.q_knn_join_geom(spark, sf_dir).collect()}
+    rects = [(r["pid"], wkb_loads(bytes(r["geom_wkb"])))
+             for r in E._event_rects(spark, sf_dir).collect()]
+    for k in E._nation_keys(spark, sf_dir):
+        oct_g = nation_octagon_geom(k)
+        d = sorted(
+            ((facet_distance(g, oct_g) ** 2, pid) for pid, g in rects),
+        )[:5]
+        for rank, (d2, pid) in enumerate(d, start=1):
+            gpid, gd2 = got[(f"oct-{k}", rank)]
+            assert gpid == pid, (k, rank, gpid, pid)
+            assert abs(gd2 - d2) <= 1e-9 * max(1.0, d2), (k, rank)
+
+
+def test_knn_join_geom_sparse_forces_rounds(spark):
+    """Queries far from the data retire only after several radius
+    doublings; results still exact (brute force) and each query gets
+    min(k, |data|) rows."""
+    import numpy as np
+
+    from nettopologysuite_spark.engine.joins import knn_join_geom
+    from nettopologysuite_spark.kernels.cells import Grid
+    from nettopologysuite_spark.kernels.facetdist import facet_distance
+    from nettopologysuite_spark.kernels.geom import polygon, wkb_dumps, wkb_loads
+
+    def rect(cx, cy, s):
+        return polygon([(cx - s, cy - s), (cx + s, cy - s), (cx + s, cy + s),
+                        (cx - s, cy + s), (cx - s, cy - s)])
+
+    # 3 data rects clustered in one corner, queries spread far away
+    data = [(i, wkb_dumps(rect(2.0 + i, 2.0, 0.5))) for i in range(3)]
+    queries = [(f"q{j}", wkb_dumps(rect(80.0 + 5 * j, 90.0, 1.0)))
+               for j in range(4)]
+    ddf = spark.createDataFrame(data, "pid long, geom_wkb binary")
+    qdf = spark.createDataFrame(queries, "q string, q_wkb binary")
+    out = knn_join_geom(qdf, ddf, Grid(0.0, 0.0, 100.0, 100.0, level=5), k=2,
+                        q_id="q", q_wkb="q_wkb", d_id="pid", d_wkb="geom_wkb")
+    rows = out.collect()
+    assert len(rows) == 8  # 4 queries × min(k=2, 3)
+    got = {(r["q"], r["rank"]): r["pid"] for r in rows}
+    for qid, qwkb in queries:
+        qg = wkb_loads(qwkb)
+        order = sorted((facet_distance(wkb_loads(w), qg), pid) for pid, w in data)
+        assert got[(qid, 1)] == order[0][1]
+        assert got[(qid, 2)] == order[1][1]
