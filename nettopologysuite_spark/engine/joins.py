@@ -1170,7 +1170,10 @@ def knn_join_geom(
                        F.col("_dminy") - F.col("_qmaxy")),
         )
         cand = (
-            qc.join(dc.hint("shuffle_hash"), "cell_id")
+            # hash-build on the QUERY side (small per round; the data side
+            # is the big exploded relation — building its hash relation ran
+            # out of executor build memory at sf0.1)
+            qc.hint("shuffle_hash").join(dc, "cell_id")
             .filter(gapx * gapx + gapy * gapy <= F.lit(R * R))
             .filter(
                 _ref_cell_col(
