@@ -363,6 +363,19 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dedup(docs)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over the
+    MinHash-LSH near-dup pair graph (min-label propagation, one shuffle per
+    round, isEmpty-scalar convergence) → (doc_id, cluster_id = min id in
+    component). The oracle computes the same components from the exact
+    brute-force pair set with a recursive CTE."""
+    from nettopologysuite_spark.engine.dedup import dup_clusters, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, threshold_pct=80)
+    return dup_clusters(pairs)
+
+
 def q_knn_join_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended-geometry kNN join: for each nation octagon (query), the 5
     nearest event rectangles by facet distance — doubling-radius rounds on
@@ -678,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_dist_join_geom": q_within_dist_join_geom,
         "media_features": q_media_features,
         "knn_join_geom": q_knn_join_geom,
+        "dup_clusters": q_dup_clusters,
         "media_stats": q_media_stats,
         "media_dedup": q_media_dedup,
         "geo_dedup": q_geo_dedup,
@@ -1048,6 +1062,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1 "
             "JOIN sizes s2 ON s2.doc_id = i.d2 "
             "WHERE i.ni * 100 >= (s1.n + s2.n - i.ni) * 80"
+        ),
+        "dup_clusters": (
+            # exact-jaccard pair graph (same CTE as minhash_lsh) → connected
+            # components via recursive transitive closure, label = min id
+            "WITH RECURSIVE "
+            "w AS (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ws "
+            "FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, CASE WHEN LEN(ws) < 2 THEN ws[1] "
+            "ELSE ws[i.i] || ' ' || ws[i.i + 1] END AS gram "
+            "FROM w JOIN generate_series(1, 1000) i(i) "
+            "ON i.i <= GREATEST(LEN(ws) - 1, 1)), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1), "
+            "p AS (SELECT i.d1, i.d2 FROM "
+            "(SELECT g1.doc_id AS d1, g2.doc_id AS d2, COUNT(*) AS ni "
+            "FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id "
+            "GROUP BY 1, 2) i "
+            "JOIN sizes s1 ON s1.doc_id = i.d1 JOIN sizes s2 ON s2.doc_id = i.d2 "
+            "WHERE i.ni * 100 >= (s1.n + s2.n - i.ni) * 80), "
+            "edges AS (SELECT d1 AS a, d2 AS b FROM p "
+            "UNION SELECT d2, d1 FROM p), "
+            "reach(node, label) AS ("
+            "  SELECT a, a FROM edges "
+            "  UNION "
+            "  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node) "
+            "SELECT node AS doc_id, MIN(label) AS cluster_id "
+            "FROM reach GROUP BY node"
         ),
         "interval_join": _interval_join_oracle(),
         "asof_join": _asof_join_oracle(),

@@ -329,3 +329,60 @@ def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = 60,
         term = F.shiftleft(term, b)
         fp = term if fp is None else fp.bitwiseOR(term)
     return votes.select(F.col("_id").alias(id_col), fp.alias("simhash"))
+
+
+def dup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
+                 max_iters: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    (doc_id, cluster_id) with cluster_id = min doc id in the component —
+    the canonical-representative step every dedup sweep ends with (keep one
+    doc per cluster, drop the rest).
+
+    Min-label propagation: every node starts as its own label; each round
+    takes the min of its own and its neighbours' labels; convergence in
+    O(component diameter) rounds — near-dup components are overwhelmingly
+    small cliques (diameter ≤ 2), so 2-3 rounds in practice, each ONE
+    shuffle (join + groupBy min). Driver coordination is a single isEmpty
+    scalar per round. At 100 TB this is the standard alternating
+    large-star/small-star dataflow's simple cousin; swap in that
+    two-phase variant if components with large diameters appear.
+    """
+    e = pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+        .distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("_nl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("_nl").alias("_nbl"))
+            .withColumnRenamed("a", "node")
+        )
+        new = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("_nbl"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+        )
+        stable = changed.isEmpty()
+        labels = new
+        if stable:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

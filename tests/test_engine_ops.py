@@ -175,3 +175,22 @@ def test_snapshot_log_commit_travel_and_failed_commit_resume(spark, tmp_path):
     # and the NEXT commit appends cleanly as id 3
     sid3 = log2.commit({"stage1": s1}, operation="overwrite")
     assert sid3 == 3 and log2.latest()["parent_id"] == 2
+
+
+def test_dup_clusters_chain_and_cliques(spark):
+    """Min-label propagation handles chains (diameter > 1, multiple
+    rounds), cliques, and isolated pairs; labels = min id per component."""
+    from nettopologysuite_spark.engine.dedup import dup_clusters
+
+    pairs = [
+        # chain 1-2-3-4-5 (diameter 4 → needs ≥3 rounds)
+        (1, 2), (2, 3), (3, 4), (4, 5),
+        # clique {10, 11, 12}
+        (10, 11), (10, 12), (11, 12),
+        # isolated pair
+        (20, 21),
+    ]
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
