@@ -363,6 +363,17 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dedup(docs)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN over the embeddings table: deterministic coarse
+    centroids → inverted lists (broadcast assignment) → nprobe-list probe →
+    exact quantized-cosine re-rank. The list-partitioned scale path next to
+    the hyperplane-LSH variant (ann_lsh)."""
+    from nettopologysuite_spark.engine.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, ANN_NQ, ANN_K)
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization: connected components over the
     MinHash-LSH near-dup pair graph (min-label propagation, one shuffle per
@@ -692,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "knn_join_geom": q_knn_join_geom,
         "dup_clusters": q_dup_clusters,
+        "ann_ivf": q_ann_ivf,
         "media_stats": q_media_stats,
         "media_dedup": q_media_dedup,
         "geo_dedup": q_geo_dedup,
@@ -901,6 +913,12 @@ def _ann_oracle() -> str:
     return ann_lsh_oracle_sql(ANN_NQ, ANN_K)
 
 
+def _ann_ivf_oracle() -> str:
+    from nettopologysuite_spark.engine.ann import ivf_oracle_sql
+
+    return ivf_oracle_sql(ANN_NQ, ANN_K)
+
+
 def _embed_dedup_oracle() -> str:
     from nettopologysuite_spark.engine.ann import embed_cosine_dedup_oracle_sql
 
@@ -1096,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _doc_quality_oracle(),
         "simhash": _simhash_oracle(),
         "ann_lsh": _ann_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
         "hull_agg": _hull_agg_oracle(),
         "docs_mixed_join": _mixed_join_oracle(),
         "media_stats": (

@@ -266,3 +266,138 @@ def ann_lsh_oracle_sql(n_queries: int, k: int) -> str:
         f"PARTITION BY q_id ORDER BY sim DESC, nbr_id ASC) AS rank FROM scored) t "
         f"WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat (inverted-file) ANN — the partitioned scale path
+# ---------------------------------------------------------------------------
+
+IVF_CENT_MOD = 31   # centroid sample: vec_id % MOD == RES → nlist ≈ n/31
+IVF_CENT_RES = 7
+IVF_NPROBE = 2
+
+_QDOT = ("aggregate(zip_with({a}, {b}, (x, y) -> "
+         "floor(CAST(x AS DOUBLE) * 1024D) * floor(CAST(y AS DOUBLE) * 1024D)), "
+         "0D, (a, v) -> a + v)")
+_QNORM = ("sqrt(aggregate(transform({a}, x -> floor(CAST(x AS DOUBLE) * 1024D)), "
+          "0D, (a, v) -> a + v * v))")
+
+
+def _sim_expr(a: str, b: str) -> str:
+    """Exact quantized cosine with a -2 sentinel for zero/NULL norms (same
+    tree as the SQL oracle — NaN never reaches a sort, whose NaN placement
+    differs between engines)."""
+    dot = _QDOT.format(a=a, b=b)
+    na = _QNORM.format(a=a)
+    nb = _QNORM.format(a=b)
+    return (f"(CASE WHEN coalesce({na}, 0D) = 0D OR coalesce({nb}, 0D) = 0D "
+            f"THEN -2D ELSE ({dot}) / ({na} * {nb}) END)")
+
+
+def ivf_topk(emb: DataFrame, n_queries: int, k: int,
+             nprobe: int = IVF_NPROBE,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Top-k by exact quantized cosine among the candidates of an
+    IVF-Flat index: vectors partition into inverted lists by their nearest
+    coarse centroid; each query probes its ``nprobe`` nearest lists and
+    re-ranks exactly within them. Returns (q_id, rank, nbr_id, sim).
+
+    The coarse quantizer here is a DETERMINISTIC SAMPLE of the dataset
+    (``vec_id % 31 == 7`` → nlist ≈ n/31) rather than trained k-means —
+    the index structure, dataflow, and cost model are identical (one
+    broadcast assignment pass, one list-partitioned shuffle, candidates =
+    nprobe/nlist of the data); swap the centroid table for trained
+    centroids at scale without touching the plan. Everything is exact
+    integer arithmetic on floor(x·1024), reproduced bit-for-bit by the
+    DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    cents = emb.filter(
+        F.col(id_col) % IVF_CENT_MOD == IVF_CENT_RES
+    ).select(F.col(id_col).alias("cid"), F.col(emb_col).alias("c_emb"))
+    # inverted lists: every vector → nearest centroid (broadcast, codegen)
+    aw = Window.partitionBy(id_col).orderBy(
+        F.col("_csim").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("_csim", F.expr(_sim_expr(emb_col, "c_emb")))
+        .withColumn("_crk", F.row_number().over(aw))
+        .filter(F.col("_crk") == 1)
+        .select(F.col(id_col), F.col(emb_col), "cid")
+    )
+    # query probes: nprobe nearest lists per query
+    qw = Window.partitionBy("q_id").orderBy(
+        F.col("_csim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))
+        .join(F.broadcast(cents))
+        .withColumn("_csim", F.expr(_sim_expr("q_emb", "c_emb")))
+        .withColumn("_crk", F.row_number().over(qw))
+        .filter(F.col("_crk") <= nprobe)
+        .select("q_id", "q_emb", "cid")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", "q_emb", F.col(id_col).alias("nbr_id"),
+                F.col(emb_col).alias("n_emb"))
+    )
+    scored = cand.withColumn("sim", F.expr(_sim_expr("q_emb", "n_emb")))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "nbr_id", "sim")
+    )
+
+
+_SQL_QDOT = ("list_sum(list_transform(list_zip("
+             "list_transform({a}, x -> floor(CAST(x AS DOUBLE) * 1024)), "
+             "list_transform({b}, x -> floor(CAST(x AS DOUBLE) * 1024))), "
+             "p -> p[1] * p[2]))")
+_SQL_QNORM = ("sqrt(list_sum(list_transform({a}, x -> "
+              "floor(CAST(x AS DOUBLE) * 1024) * floor(CAST(x AS DOUBLE) * 1024))))")
+
+
+def _sim_sql(a: str, b: str) -> str:
+    dot = _SQL_QDOT.format(a=a, b=b)
+    na = _SQL_QNORM.format(a=a)
+    nb = _SQL_QNORM.format(a=b)
+    return (f"(CASE WHEN COALESCE({na}, 0) = 0 OR COALESCE({nb}, 0) = 0 "
+            f"THEN -2 ELSE ({dot}) / ({na} * {nb}) END)")
+
+
+def ivf_oracle_sql(n_queries: int, k: int, nprobe: int = IVF_NPROBE) -> str:
+    """The identical IVF definition in DuckDB SQL — bit-for-bit comparable
+    with :func:`ivf_topk`."""
+    return (
+        f"WITH cents AS (SELECT vec_id AS cid, embedding AS c_emb "
+        f"FROM embeddings WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_RES}), "
+        "assigned AS (SELECT vec_id, embedding, cid FROM ("
+        "  SELECT e.vec_id, e.embedding, c.cid, ROW_NUMBER() OVER ("
+        "    PARTITION BY e.vec_id ORDER BY "
+        + _sim_sql("e.embedding", "c.c_emb")
+        + " DESC, c.cid ASC) AS crk FROM embeddings e CROSS JOIN cents c) t "
+        "WHERE crk = 1), "
+        f"probes AS (SELECT q_id, q_emb, cid FROM ("
+        f"  SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cid, "
+        f"  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+        + _sim_sql("e.embedding", "c.c_emb")
+        + f" DESC, c.cid ASC) AS crk "
+        f"  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < {n_queries}) t "
+        f"WHERE crk <= {nprobe}), "
+        "cand AS (SELECT p.q_id, p.q_emb, a.vec_id AS nbr_id, "
+        "a.embedding AS n_emb FROM assigned a JOIN probes p ON a.cid = p.cid "
+        "AND a.vec_id <> p.q_id), "
+        "scored AS (SELECT q_id, nbr_id, "
+        + _sim_sql("q_emb", "n_emb")
+        + " AS sim FROM cand) "
+        f"SELECT q_id, rank, nbr_id, sim FROM ("
+        f"SELECT q_id, nbr_id, sim, ROW_NUMBER() OVER ("
+        f"PARTITION BY q_id ORDER BY sim DESC, nbr_id ASC) AS rank FROM scored) t "
+        f"WHERE rank <= {k}"
+    )

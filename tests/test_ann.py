@@ -61,3 +61,49 @@ def test_ann_lsh_plan_is_jvm_side(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ann_ivf_recall_and_planted_duplicates(spark, sf_dir):
+    """IVF-Flat: recall floor vs brute force on the weakly-clustered
+    fixture, and exact rank-1 retrieval of planted near-duplicate twins
+    (a cos≥0.99 twin lands in the same inverted list as its query, which
+    the query always probes — its own list is its nearest)."""
+    from pyspark.sql import functions as F
+
+    from nettopologysuite_spark.engine.ann import ivf_topk
+
+    brute = {
+        (r["q_id"], r["nbr_id"]) for r in E.q_knn_embedding(spark, sf_dir).collect()
+    }
+    ivf = {(r["q_id"], r["nbr_id"]) for r in E.q_ann_ivf(spark, sf_dir).collect()}
+    recall = len(brute & ivf) / len(brute)
+    # weakly-clustered fixture (true top-5 cosines 0.26-0.39): nprobe=2 of
+    # nlist≈16 lists examines ~1/8 of the corpus; measured 0.35 at
+    # sf0.001, 0.45 at sf0.01 (deterministic) — pinned as regression floor
+    assert recall >= 0.3, recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nq = E.ANN_NQ
+    base = {r["vec_id"]: list(r["embedding"])
+            for r in emb.filter(F.col("vec_id") < nq).collect()}
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    planted = [
+        (max_id + 1 + qid, [v + (0.001 if (i + qid) % 2 else -0.001)
+                            for i, v in enumerate(vec)])
+        for qid, vec in base.items()
+    ]
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<double>")
+            .select("vec_id", F.col("embedding").cast("array<float>"))
+    )
+    top = ivf_topk(corpus, nq, 1).collect()
+    got = {r["q_id"]: r["nbr_id"] for r in top}
+    for qid in base:
+        assert got[qid] == max_id + 1 + qid, (qid, got.get(qid))
+
+
+def test_ann_ivf_plan_is_jvm_side(spark, sf_dir):
+    df = E.q_ann_ivf(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
