@@ -363,6 +363,25 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dedup(docs)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media thumbnail pass: real decode → nearest-neighbor 32×32 resize →
+    channel means (closed-form oracle over the gradient image)."""
+    from nettopologysuite_spark.engine.media import media_resized_features
+
+    docs = synthesize_docs(spark, sf_dir)
+    return media_resized_features(docs)
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling: deterministic multi-frame container, every 2nd
+    frame decoded (unsampled frames skipped without decoding), per-frame
+    stats."""
+    from nettopologysuite_spark.engine.media import media_frame_samples
+
+    docs = synthesize_docs(spark, sf_dir)
+    return media_frame_samples(docs)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN over the embeddings table: deterministic coarse
     centroids → inverted lists (broadcast assignment) → nprobe-list probe →
@@ -704,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_geom": q_knn_join_geom,
         "dup_clusters": q_dup_clusters,
         "ann_ivf": q_ann_ivf,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "media_stats": q_media_stats,
         "media_dedup": q_media_dedup,
         "geo_dedup": q_geo_dedup,
@@ -1145,6 +1166,42 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(width AS DOUBLE) - 1.0) / 2.0 AS mean_g, "
             "CAST(seed AS DOUBLE) AS mean_b, "
             "0 AS r_first, height - 1 AS r_last FROM p"
+        ),
+        "media_resize": (
+            # means of the 32x32 nearest-neighbor thumbnail of the gradient
+            # image: resized R values are floor(i*h/32) (power-of-two
+            # divisions stay exact in double)
+            "WITH m AS (SELECT printf('doc-%012d', doc_id) AS doc_id, "
+            "md5(printf('media://%s/%d', source, doc_id)) AS hh FROM documents), "
+            "p AS (SELECT doc_id, "
+            "CAST(16 + CAST('0x' || substr(hh, 1, 6) AS BIGINT) % 200 AS INT) AS width, "
+            "CAST(16 + CAST('0x' || substr(hh, 7, 6) AS BIGINT) % 200 AS INT) AS height, "
+            "CAST('0x' || substr(hh, 13, 2) AS BIGINT) AS seed FROM m) "
+            "SELECT doc_id, 1 AS span_idx, width, height, "
+            "(SELECT SUM(FLOOR(i.i * p.height / 32.0)) FROM generate_series(0, 31) i(i)) "
+            "/ 32.0 AS mean_r, "
+            "(SELECT SUM(FLOOR(j.j * p.width / 32.0)) FROM generate_series(0, 31) j(j)) "
+            "/ 32.0 AS mean_g, "
+            "CAST(seed AS DOUBLE) AS mean_b FROM p"
+        ),
+        "media_frames": (
+            # every 2nd frame of the nf-frame container; frame f is the
+            # gradient image with seed (seed+f) % 256
+            "WITH m AS (SELECT printf('doc-%012d', doc_id) AS doc_id, "
+            "md5(printf('media://%s/%d', source, doc_id)) AS hh FROM documents), "
+            "p AS (SELECT doc_id, "
+            "CAST(16 + CAST('0x' || substr(hh, 1, 6) AS BIGINT) % 200 AS INT) AS width, "
+            "CAST(16 + CAST('0x' || substr(hh, 7, 6) AS BIGINT) % 200 AS INT) AS height, "
+            "CAST('0x' || substr(hh, 13, 2) AS BIGINT) AS seed, "
+            "CAST(2 + CAST('0x' || substr(hh, 16, 1) AS BIGINT) % 7 AS INT) AS nf "
+            "FROM m) "
+            "SELECT doc_id, 1 AS span_idx, CAST(f.f AS INT) AS frame_idx, "
+            "nf AS n_frames, width, height, "
+            "(CAST(height AS DOUBLE) - 1.0) / 2.0 AS mean_r, "
+            "(CAST(width AS DOUBLE) - 1.0) / 2.0 AS mean_g, "
+            "CAST((seed + f.f) % 256 AS DOUBLE) AS mean_b "
+            "FROM p JOIN generate_series(0, 7) f(f) "
+            "ON f.f < p.nf AND f.f % 2 = 0"
         ),
         "geo_dedup": (
             f"SELECT CAST(FLOOR(x * 2) AS BIGINT) AS sx, "

@@ -260,3 +260,151 @@ def media_features(docs: DataFrame, fused: bool = True) -> DataFrame:
         fetch_media_batches, "doc_id string, span_idx int, blob binary"
     )
     return blobs.mapInPandas(decode_media_batches, MEDIA_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample (the remaining multimodal pipeline stages)
+# ---------------------------------------------------------------------------
+
+def resize_nn(img: "np.ndarray", rw: int, rh: int) -> "np.ndarray":
+    """Nearest-neighbor resize to (rh, rw, 3) — one numpy fancy-index
+    gather, the standard thumbnail pass before featurization."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    rows = (np.arange(rh, dtype=np.int64) * h) // rh
+    cols = (np.arange(rw, dtype=np.int64) * w) // rw
+    return img[rows[:, None], cols[None, :]]
+
+
+MEDIA_RESIZE_SCHEMA = (
+    "doc_id string, span_idx int, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def media_resized_features(docs: DataFrame, rw: int = 32, rh: int = 32) -> DataFrame:
+    """fetch → decode → RESIZE (nearest-neighbor thumbnail) → channel
+    stats. width/height report the SOURCE dims; the means are over the
+    resized pixels — each has a closed form on the gradient test image
+    (mean_r = Σ_i floor(i·h/rh)/rh etc.), which is what the oracle
+    recomputes."""
+    import numpy as np
+
+    def fetch_decode_resize(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("width", "height", "mean_r", "mean_g", "mean_b")}
+            for ref in pdf["media_ref"]:
+                fmt, w, h, seed = _ref_params(ref)
+                img = _test_image(w, h, seed)
+                blob = encode_ppm(img) if fmt == "ppm" else encode_bmp(img)
+                dec = decode_ppm(blob) if blob[:2] == b"P6" else decode_bmp(blob)
+                small = resize_nn(dec, rw, rh)
+                npx = rw * rh
+                sums = small.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(float(sums[0]) / npx)
+                rows["mean_g"].append(float(sums[1]) / npx)
+                rows["mean_b"].append(float(sums[2]) / npx)
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "span_idx": pdf["span_idx"].astype("int32"),
+                **rows,
+            })
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return media_refs(docs).mapInPandas(fetch_decode_resize, MEDIA_RESIZE_SCHEMA)
+
+
+# -- deterministic multi-frame container ("video") --------------------------
+
+_NTSV_MAGIC = b"NTSV"
+
+
+def encode_video(frames: list["np.ndarray"]) -> bytes:
+    """Toy deterministic video container: magic + u32 frame count + frames
+    as length-prefixed PPM blobs (the fetch stand-in for real containers;
+    the sampling/decode plumbing downstream is the production shape)."""
+    import struct
+
+    out = [_NTSV_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        blob = encode_ppm(f)
+        out.append(struct.pack("<I", len(blob)))
+        out.append(blob)
+    return b"".join(out)
+
+
+def iter_video_frames(blob: bytes, stride: int = 1):
+    """(frame_idx, frame_bytes) for every stride-th frame — the container
+    is length-prefixed, so sampling SKIPS unsampled frames without
+    decoding them (the point of frame-sampling at scale)."""
+    import struct
+
+    if blob[:4] != _NTSV_MAGIC:
+        raise ValueError("not an NTSV container")
+    (nf,) = struct.unpack_from("<I", blob, 4)
+    pos = 8
+    for f in range(nf):
+        (ln,) = struct.unpack_from("<I", blob, pos)
+        pos += 4
+        if f % stride == 0:
+            yield f, blob[pos:pos + ln]
+        pos += ln
+
+
+MEDIA_FRAMES_SCHEMA = (
+    "doc_id string, span_idx int, frame_idx int, n_frames int, "
+    "width int, height int, mean_r double, mean_g double, mean_b double"
+)
+
+
+def media_frame_samples(docs: DataFrame, stride: int = 2) -> DataFrame:
+    """fetch (synthesized multi-frame container) → FRAME-SAMPLE every
+    ``stride``-th frame (skipping unsampled frames without decoding) →
+    decode → per-frame channel stats. Frame f of a ref's video is the
+    gradient image with seed (seed+f) % 256 and n_frames = 2 + h15 % 7,
+    so every emitted row has a closed-form oracle."""
+    import numpy as np
+
+    def fetch_sample(batches):
+        for pdf in batches:
+            cols = {k: [] for k in ("doc_id", "span_idx", "frame_idx", "n_frames",
+                                    "width", "height", "mean_r", "mean_g", "mean_b")}
+            for doc_id, span_idx, ref in zip(
+                pdf["doc_id"], pdf["span_idx"], pdf["media_ref"]
+            ):
+                fmt, w, h, seed = _ref_params(ref)
+                nf = 2 + _ref_nibble(ref, 15) % 7
+                video = encode_video(
+                    [_test_image(w, h, (seed + f) % 256) for f in range(nf)]
+                )
+                for f, fb in iter_video_frames(video, stride):
+                    img = decode_ppm(fb)
+                    fh, fw, _ = img.shape
+                    sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    npx = fw * fh
+                    cols["doc_id"].append(doc_id)
+                    cols["span_idx"].append(span_idx)
+                    cols["frame_idx"].append(f)
+                    cols["n_frames"].append(nf)
+                    cols["width"].append(fw)
+                    cols["height"].append(fh)
+                    cols["mean_r"].append(float(sums[0]) / npx)
+                    cols["mean_g"].append(float(sums[1]) / npx)
+                    cols["mean_b"].append(float(sums[2]) / npx)
+            out = pd.DataFrame(cols)
+            for c in ("span_idx", "frame_idx", "n_frames", "width", "height"):
+                out[c] = out[c].astype("int32")
+            yield out
+
+    return media_refs(docs).mapInPandas(fetch_sample, MEDIA_FRAMES_SCHEMA)
+
+
+def _ref_nibble(ref: str, pos: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(ref.encode()).hexdigest()[pos], 16)

@@ -81,3 +81,40 @@ def test_media_features_two_stage_equals_fused(spark, sf_dir):
     fused = {tuple(r) for r in media_features(docs, fused=True).collect()}
     staged = {tuple(r) for r in media_features(docs, fused=False).collect()}
     assert fused == staged and len(fused) > 0
+
+
+def test_resize_nn_semantics():
+    import numpy as np
+
+    from nettopologysuite_spark.engine.media import _test_image, resize_nn
+
+    img = _test_image(100, 60, 7)
+    small = resize_nn(img, 32, 32)
+    assert small.shape == (32, 32, 3)
+    # nearest-neighbor: pixel (i, j) = source (floor(i*60/32), floor(j*100/32))
+    for i, j in [(0, 0), (31, 31), (5, 17)]:
+        si, sj = (i * 60) // 32, (j * 100) // 32
+        assert (small[i, j] == img[si, sj]).all(), (i, j)
+    # upscale path too
+    up = resize_nn(_test_image(4, 3, 0), 8, 9)
+    assert up.shape == (9, 8, 3)
+
+
+def test_video_container_sampling_skips_frames():
+    import numpy as np
+
+    from nettopologysuite_spark.engine.media import (
+        _test_image,
+        decode_ppm,
+        encode_video,
+        iter_video_frames,
+    )
+
+    frames = [_test_image(10, 8, s) for s in (3, 4, 5, 6, 7)]
+    blob = encode_video(frames)
+    sampled = list(iter_video_frames(blob, stride=2))
+    assert [f for f, _ in sampled] == [0, 2, 4]
+    for f, fb in sampled:
+        assert np.array_equal(decode_ppm(fb), frames[f])
+    # stride=1 returns all frames in order
+    assert [f for f, _ in iter_video_frames(blob, stride=1)] == [0, 1, 2, 3, 4]
