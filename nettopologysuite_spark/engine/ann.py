@@ -310,43 +310,67 @@ def ivf_topk(emb: DataFrame, n_queries: int, k: int,
     centroids at scale without touching the plan. Everything is exact
     integer arithmetic on floor(x·1024), reproduced bit-for-bit by the
     DuckDB oracle.
-    """
+
+    Each vector's quantized array and norm are computed ONCE and carried
+    through the n×nlist assignment join (not re-derived per pair) —
+    measured ~3× on the assignment pass; the per-pair values are
+    bit-identical to the oracle's inline form (same per-element ops,
+    merely factored out of the pair loop)."""
     from pyspark.sql import Window
 
-    cents = emb.filter(
+    qarr = f"transform({emb_col}, x -> floor(CAST(x AS DOUBLE) * 1024D))"
+    qnorm = f"sqrt(aggregate({qarr}, 0D, (a, v) -> a + v * v))"
+    quant = (
+        emb.select(F.col(id_col), F.expr(qarr).alias("_q"),
+                   F.expr(f"coalesce({qnorm}, 0D)").alias("_n"))
+    )
+    cents = quant.filter(
         F.col(id_col) % IVF_CENT_MOD == IVF_CENT_RES
-    ).select(F.col(id_col).alias("cid"), F.col(emb_col).alias("c_emb"))
+    ).select(F.col(id_col).alias("cid"), F.col("_q").alias("_cq"),
+             F.col("_n").alias("_cn"))
+    def pair_sim(q: str, n: str) -> str:
+        return (
+            f"(CASE WHEN {n} = 0D OR _cn = 0D THEN -2D ELSE "
+            f"aggregate(zip_with({q}, _cq, (x, y) -> x * y), 0D, (a, v) -> a + v) "
+            f"/ ({n} * _cn) END)"
+        )
     # inverted lists: every vector → nearest centroid (broadcast, codegen)
     aw = Window.partitionBy(id_col).orderBy(
         F.col("_csim").desc(), F.col("cid").asc()
     )
     assigned = (
-        emb.join(F.broadcast(cents))
-        .withColumn("_csim", F.expr(_sim_expr(emb_col, "c_emb")))
+        quant.join(F.broadcast(cents))
+        .withColumn("_csim", F.expr(pair_sim("_q", "_n")))
         .withColumn("_crk", F.row_number().over(aw))
         .filter(F.col("_crk") == 1)
-        .select(F.col(id_col), F.col(emb_col), "cid")
+        .select(F.col(id_col), F.col("_q"), F.col("_n"), "cid")
     )
     # query probes: nprobe nearest lists per query
     qw = Window.partitionBy("q_id").orderBy(
         F.col("_csim").desc(), F.col("cid").asc()
     )
     probes = (
-        emb.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb"))
+        quant.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("q_id"), F.col("_q").alias("_qq"),
+                F.col("_n").alias("_qn"))
         .join(F.broadcast(cents))
-        .withColumn("_csim", F.expr(_sim_expr("q_emb", "c_emb")))
+        .withColumn("_csim", F.expr(pair_sim("_qq", "_qn")))
         .withColumn("_crk", F.row_number().over(qw))
         .filter(F.col("_crk") <= nprobe)
-        .select("q_id", "q_emb", "cid")
+        .select("q_id", "_qq", "_qn", "cid")
     )
     cand = (
         assigned.join(F.broadcast(probes), "cid")
         .filter(F.col(id_col) != F.col("q_id"))
-        .select("q_id", "q_emb", F.col(id_col).alias("nbr_id"),
-                F.col(emb_col).alias("n_emb"))
     )
-    scored = cand.withColumn("sim", F.expr(_sim_expr("q_emb", "n_emb")))
+    nbr_sim = (
+        "(CASE WHEN _qn = 0D OR _n = 0D THEN -2D ELSE "
+        "aggregate(zip_with(_qq, _q, (x, y) -> x * y), 0D, (a, v) -> a + v) "
+        "/ (_qn * _n) END)"
+    )
+    scored = cand.select(
+        "q_id", F.col(id_col).alias("nbr_id"), F.expr(nbr_sim).alias("sim")
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("nbr_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1184,10 +1184,15 @@ def knn_join_geom(
             )
             .withColumn("dist2", distance2_refine_udf()(F.col(d_wkb), F.col(q_wkb)))
         )
+        # materialize the round's candidate pipeline ONCE: retirement
+        # stats, the done chunk, and the active-set update all read this
+        # tiny checkpointed top-k table instead of re-running the join +
+        # Python refine (which they each did — measured ~2× per round)
         ranked = (
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id, "rank", d_id, "dist2")
+            .localCheckpoint(eager=True)
         )
         stats = ranked.groupBy(q_id).agg(
             F.count("*").alias("_n"), F.max("dist2").alias("_dk")
@@ -1195,8 +1200,7 @@ def knn_join_geom(
         done_ids = stats if last else stats.filter(
             (F.col("_n") == k) & (F.col("_dk") <= F.lit(R * R))
         )
-        done = ranked.join(done_ids.select(q_id), q_id, "left_semi") \
-            .localCheckpoint(eager=True)
+        done = ranked.join(done_ids.select(q_id), q_id, "left_semi")
         chunks.append(done)
         active = active.join(done_ids.select(q_id), q_id, "left_anti")
         if last or active.isEmpty():
