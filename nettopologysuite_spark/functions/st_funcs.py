@@ -641,8 +641,45 @@ def build_registry() -> dict:
             [None if t is None else wkb_dumps(kml_loads(t)) for t in text]
         )
 
+    @pandas_udf("double")
+    def st_z(wkb: pd.Series) -> pd.Series:
+        # first vertex's Z (POINT semantics; NULL when no Z is stored —
+        # the Coordinate.Z passthrough surface)
+        out = []
+        for g in _geoms(wkb):
+            z = None
+            if g is not None and g.zs is not None and len(g.zs):
+                z = float(g.zs[0])
+            out.append(z)
+        return pd.Series(out, dtype="float64")
+
+    @pandas_udf("boolean")
+    def st_hasz(wkb: pd.Series) -> pd.Series:
+        return pd.Series([None if g is None else g.has_z for g in _geoms(wkb)])
+
+    @pandas_udf("binary")
+    def st_force2d(wkb: pd.Series) -> pd.Series:
+        import dataclasses
+
+        def strip(g):
+            if g is None:
+                return None
+            if not g.has_z:
+                return g
+            return dataclasses.replace(
+                g, zs=None, ring_zs=None,
+                parts=[strip(p) for p in g.parts],
+            )
+
+        return pd.Series(
+            [None if g is None else wkb_dumps(strip(g)) for g in _geoms(wkb)]
+        )
+
     registry = {
         "ST_GeomFromText": st_geomfromtext,
+        "ST_Z": st_z,
+        "ST_HasZ": st_hasz,
+        "ST_Force2D": st_force2d,
         "ST_AsText": st_astext,
         "ST_Area": _unary_double(measures.area),
         "ST_Length": _unary_double(measures.length),

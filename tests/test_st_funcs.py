@@ -136,3 +136,21 @@ def test_st_gml_kml_sql(spark):
     assert row["gml_rt"] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
     assert row["kml_rt"] == "MULTIPOINT ((1 1), (2 2))"
     assert "gml:Point" in row["gml_txt"] and "3,4" in row["gml_txt"]
+
+
+def test_st_z_surface(spark):
+    """ST_Z / ST_HasZ / ST_Force2D over the Z-passthrough codec."""
+    import numpy as np
+
+    from nettopologysuite_spark.kernels.geom import Geom, POINT, wkb_dumps
+
+    zpt = wkb_dumps(Geom(POINT, coords=np.array([[1.0, 2.0]]), zs=np.array([9.5])))
+    flat = wkb_dumps(Geom(POINT, coords=np.array([[3.0, 4.0]])))
+    df = spark.createDataFrame([(1, zpt), (2, flat)], "i long, g binary")
+    df.createOrReplaceTempView("zt")
+    rows = {r["i"]: (r["z"], r["hz"], r["fz"]) for r in spark.sql(
+        "SELECT i, ST_Z(g) AS z, ST_HasZ(g) AS hz, "
+        "ST_HasZ(ST_Force2D(g)) AS fz FROM zt"
+    ).collect()}
+    assert rows[1] == (9.5, True, False)
+    assert rows[2] == (None, False, False)
