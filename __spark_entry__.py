@@ -363,6 +363,25 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dedup(docs)
 
 
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the 10 smallest md5(doc_id) per
+    source — exact-reproducible reservoir sampling for training-data
+    pipelines (any engine re-draws the same sample)."""
+    from nettopologysuite_spark.engine.text import sample_per_source
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_per_source(docs, k=10)
+
+
+def q_doc_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source length quantiles (nearest-rank p50/p90/p99) —
+    bit-reproducible corpus profiling, no percentile_approx."""
+    from nettopologysuite_spark.engine.text import length_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_quantiles(docs)
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media thumbnail pass: real decode → nearest-neighbor 32×32 resize →
     channel means (closed-form oracle over the gradient image)."""
@@ -725,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
+        "doc_sample": q_doc_sample,
+        "doc_quantiles": q_doc_quantiles,
         "media_stats": q_media_stats,
         "media_dedup": q_media_dedup,
         "geo_dedup": q_geo_dedup,
@@ -1101,6 +1122,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1 "
             "JOIN sizes s2 ON s2.doc_id = i.d2 "
             "WHERE i.ni * 100 >= (s1.n + s2.n - i.ni) * 80"
+        ),
+        "doc_sample": (
+            "SELECT doc_id, source, smp_rank FROM ("
+            "  SELECT doc_id, source, ROW_NUMBER() OVER ("
+            "    PARTITION BY source "
+            "    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC"
+            "  ) AS smp_rank FROM documents) t WHERE smp_rank <= 10"
+        ),
+        "doc_quantiles": (
+            # nearest-rank quantiles: value at rank ceil(p*n/100), ties by id
+            "WITH r AS (SELECT source, doc_id, LENGTH(text) AS len, "
+            "ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY LENGTH(text) ASC, doc_id ASC) AS rn, "
+            "COUNT(*) OVER (PARTITION BY source) AS n FROM documents) "
+            "SELECT source, MAX(n) AS n_docs, "
+            "MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN len END) AS p50, "
+            "MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN len END) AS p90, "
+            "MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN len END) AS p99 "
+            "FROM r GROUP BY source"
         ),
         "dup_clusters": (
             # exact-jaccard pair graph (same CTE as minhash_lsh) → connected

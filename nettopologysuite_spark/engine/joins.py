@@ -469,7 +469,7 @@ def knn_join_table(
     # fixed-overhead jobs, and a query with ≥k local points retires in
     # round one when the window already clears its margin bound
     r_lo, r_hi = 0, max(0, r0)
-    while r_lo <= n and active.count() > 0:
+    while r_lo <= n and not active.isEmpty():
         ring = (
             active
             .withColumn("_dx", F.explode(F.sequence(F.lit(-r_hi), F.lit(r_hi))))

@@ -109,3 +109,58 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     """Canonicalized-content fingerprint: lowercase, collapse whitespace, md5."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return docs.select(id_col, F.md5(F.trim(norm)).alias("fingerprint"))
+
+
+def sample_per_source(docs: DataFrame, k: int,
+                      id_col: str = "doc_id",
+                      strat_col: str = "source") -> DataFrame:
+    """Deterministic stratified sample: the k smallest md5(id) per stratum —
+    the exact-reproducible "reservoir" every training-data pipeline needs
+    (re-running the pipeline, or any other engine, draws the SAME sample).
+    One shuffle on the stratum key; rank arithmetic is a window over each
+    stratum, never a global sort."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strat_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= k)
+        .select(id_col, strat_col, "smp_rank")
+    )
+
+
+def length_quantiles(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     strat_col: str = "source") -> DataFrame:
+    """EXACT per-stratum length quantiles (nearest-rank definition:
+    value at rank ⌈p·n⌉, ties broken by id) — the corpus-profiling
+    aggregate behind length filtering. percentile_approx would differ
+    between engines; rank selection is bit-reproducible. One shuffle +
+    one window pass."""
+    from pyspark.sql import Window
+
+    ln = F.length(F.col(text_col)).alias("_len")
+    w = Window.partitionBy(strat_col).orderBy(F.col("_len").asc(),
+                                              F.col(id_col).asc())
+    ranked = (
+        docs.select(strat_col, id_col, ln)
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    picks = {p: F.expr(f"CAST(({p} * _n + 99) DIV 100 AS BIGINT)")
+             for p in (50, 90, 99)}
+    counted = ranked.withColumn(
+        "_n", F.count("*").over(Window.partitionBy(strat_col))
+    )
+    return (
+        counted.groupBy(strat_col)
+        .agg(
+            F.max("_n").alias("n_docs"),
+            *[
+                F.max(F.when(F.col("_rn") == picks[p], F.col("_len")))
+                .alias(f"p{p}")
+                for p in (50, 90, 99)
+            ],
+        )
+        .select(strat_col, "n_docs", "p50", "p90", "p99")
+    )

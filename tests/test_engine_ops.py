@@ -194,3 +194,20 @@ def test_dup_clusters_chain_and_cliques(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_sample_and_quantiles_semantics(spark):
+    from nettopologysuite_spark.engine.text import length_quantiles, sample_per_source
+
+    rows = [(i, "s" + str(i % 2), "x" * (10 + i)) for i in range(21)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # sampling: deterministic (re-run identical) and k-bounded per stratum
+    s1 = {(r["doc_id"], r["smp_rank"]) for r in sample_per_source(docs, 3).collect()}
+    s2 = {(r["doc_id"], r["smp_rank"]) for r in sample_per_source(docs, 3).collect()}
+    assert s1 == s2 and len(s1) == 6
+    # quantiles: nearest-rank definition on a known distribution
+    q = {r["source"]: r for r in length_quantiles(docs).collect()}
+    # source s0 has doc_ids 0,2,...,20 → lengths 10,12,...,30 (n=11)
+    # rank ceil(.5*11)=6 → len 20; ceil(.9*11)=10 → 28; ceil(.99*11)=11 → 30
+    assert (q["s0"]["n_docs"], q["s0"]["p50"], q["s0"]["p90"], q["s0"]["p99"]) \
+        == (11, 20, 28, 30)
