@@ -1048,18 +1048,22 @@ def oracle_sql() -> dict[str, str]:
                 "p.x", "p.y", "p.w", "p.h", "n.n_nationkey", 2)
         ),
         "knn_join_geom": (
+            # dist2 computes ONCE in the inner scan; the window orders by
+            # the materialized column (duckdb 1.0.0's buffer accounting
+            # breaks when the 64-term expression also sits inside the
+            # window's ORDER BY — bogus OOM on re-execution)
             f"SELECT poly_id, rank, pid, dist2 FROM ("
-            f"  SELECT 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id, "
-            f"         p.pid, "
+            f"  SELECT poly_id, pid, dist2, "
+            f"         ROW_NUMBER() OVER (PARTITION BY poly_id ORDER BY "
+            f"             dist2 ASC, pid ASC) AS rank FROM ("
+            f"    SELECT 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id, "
+            f"           p.pid, "
             + derive.rect_octagon_dist2_sql(
                 "p.x", "p.y", "p.w", "p.h", "n.n_nationkey")
-            + " AS dist2, "
-            f"         ROW_NUMBER() OVER (PARTITION BY n.n_nationkey ORDER BY "
-            + derive.rect_octagon_dist2_sql(
-                "p.x", "p.y", "p.w", "p.h", "n.n_nationkey")
-            + " ASC, p.pid ASC) AS rank "
-            f"  FROM (SELECT pid, x, y, (1 + pid % 3) AS w, (1 + pid % 2) AS h "
-            f"        FROM {_PTS} p0) p CROSS JOIN nation n) t WHERE rank <= 5"
+            + " AS dist2 "
+            f"    FROM (SELECT pid, x, y, (1 + pid % 3) AS w, (1 + pid % 2) AS h "
+            f"          FROM {_PTS} p0) p CROSS JOIN nation n) s) t "
+            f"WHERE rank <= 5"
         ),
         "dedup_exact": (
             "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups "
