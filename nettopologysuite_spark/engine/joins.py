@@ -717,10 +717,18 @@ def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
 
     vector_fast = (not exact_relate) and predicate == "intersects"
     vector_cover = (not exact_relate) and predicate in ("covers", "contains")
+    # within/coveredby are covers/contains with the roles swapped: the
+    # RIGHT is the container — same vectorized kernel, grouped by right
+    vector_within = (not exact_relate) and predicate in ("within", "coveredby")
     if exact_relate:
         pair_eval = lambda a, b: evaluate_predicate(predicate, a, b)  # noqa: E731
     else:
-        fast = {"covers": p_covers, "contains": p_contains}
+        fast = {
+            "covers": p_covers,
+            "contains": p_contains,
+            "coveredby": lambda a, b: p_covers(b, a),
+            "within": lambda a, b: p_contains(b, a),
+        }
         pair_eval = fast.get(predicate)
         if pair_eval is None:
             pair_eval = lambda a, b: evaluate_predicate(predicate, a, b)  # noqa: E731
@@ -770,6 +778,30 @@ def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
                 else:
                     for i in np.flatnonzero(sel):
                         out[i] = pair_eval(pl.geom, _rgeom(int(rcodes[i])))
+        elif vector_within:
+            # within/coveredby(left, right) ≡ contains/covers(right, left):
+            # group by the RIGHT container, batch the lefts
+            lcodes, luniq = pd.factorize(lwkb.to_numpy(object))
+            gb_left = GeomBatch.from_wkb([bytes(b) for b in luniq])
+            lgeom_cache: dict = {}
+
+            def _lgeom(k: int):
+                g = lgeom_cache.get(k)
+                if g is None:
+                    g = lgeom_cache[k] = wkb_loads(bytes(luniq[k]))
+                return g
+
+            for j, blob in enumerate(runiq):
+                sel = rcodes == j
+                pr = PreparedRight(wkb_loads(bytes(blob)))
+                if pr.preps:
+                    out[sel] = batch_covers_rights(
+                        gb_left, lcodes[sel], pr,
+                        contains=(predicate == "within"), geom_of=_lgeom,
+                    )
+                else:
+                    for i in np.flatnonzero(sel):
+                        out[i] = pair_eval(_lgeom(int(lcodes[i])), pr.geom)
         else:
             rgeoms = [wkb_loads(bytes(b)) for b in runiq]
             # factorize lefts too: a geometry in m candidate pairs of this

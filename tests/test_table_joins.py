@@ -207,3 +207,46 @@ def test_knn_join_geom_sparse_forces_rounds(spark):
         order = sorted((facet_distance(wkb_loads(w), qg), pid) for pid, w in data)
         assert got[(qid, 1)] == order[0][1]
         assert got[(qid, 2)] == order[1][1]
+
+
+def test_bigbig_within_coveredby_predicates(spark, sf_dir):
+    """within/coveredby on the big×big join: roles swapped, vectorized via
+    the same batch-covers kernel grouped by the container side. Must equal
+    poly_poly_contains with the sides exchanged, and brute force."""
+    import __spark_entry__ as E
+    from nettopologysuite_spark.engine.derive import nation_octagon_geom
+    from nettopologysuite_spark.engine.joins import spatial_join_bigbig
+    from nettopologysuite_spark.kernels.cells import Grid
+    from nettopologysuite_spark.kernels.geom import wkb_dumps, wkb_loads
+    from nettopologysuite_spark.kernels.predicates import contains as p_contains
+    from nettopologysuite_spark.kernels.predicates import covers as p_covers
+
+    rects = E._event_rects(spark, sf_dir)
+    keys = E._nation_keys(spark, sf_dir)
+    octs = spark.createDataFrame(
+        [(f"oct-{k}", wkb_dumps(nation_octagon_geom(k))) for k in keys],
+        "poly_id string, oct_wkb binary",
+    )
+    grid = Grid(0.0, 0.0, 100.0, 100.0, level=5)
+    within = spatial_join_bigbig(
+        rects, octs, grid, "within",
+        left_id="pid", right_id="poly_id", left_wkb="geom_wkb", right_wkb="oct_wkb",
+    )
+    got_w = {(r.pid, r.poly_id) for r in within.select("pid", "poly_id").collect()}
+    contains = {(r.pid, r.poly_id)
+                for r in E.q_poly_poly_contains(spark, sf_dir).collect()}
+    assert got_w == contains and len(got_w) > 0
+
+    covby = spatial_join_bigbig(
+        rects, octs, grid, "coveredby",
+        left_id="pid", right_id="poly_id", left_wkb="geom_wkb", right_wkb="oct_wkb",
+    )
+    got_c = {(r.pid, r.poly_id) for r in covby.select("pid", "poly_id").collect()}
+    octg = {f"oct-{k}": nation_octagon_geom(k) for k in keys}
+    expect_c = set()
+    for r in rects.collect():
+        g = wkb_loads(bytes(r["geom_wkb"]))
+        for pid, og in octg.items():
+            if p_covers(og, g):
+                expect_c.add((r["pid"], pid))
+    assert got_c == expect_c
