@@ -287,3 +287,40 @@ def test_stream_stream_join_state_is_bounded(spark, tmp_path):
     finally:
         q.stop()
         spark.catalog.dropTempView(name)
+
+
+def test_stream_pip_join_matches_batch(spark, tmp_path):
+    """Stream-static enrichment join (point stream × broadcast polygon
+    pack): streamed rows equal the batch PIP join row-for-row; resumed
+    drains enrich only the delta."""
+    import __spark_entry__ as E
+    from nettopologysuite_spark.engine.joins import pip_join_points
+    from nettopologysuite_spark.streaming import stream_pip_join
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    pack = E._octagon_pack(E._nation_keys(spark, "/root/testdata/sf0.001"))
+    grid = E.GRID
+    out = str(tmp_path / "out")
+    rows = [(i, _t(i % 5), float(i % 97), float((i * 7) % 89)) for i in range(400)]
+    _write_points(spark, src, rows)
+    from nettopologysuite_spark.streaming import run_to_parquet
+
+    run_to_parquet(stream_pip_join(spark, src, PT_SCHEMA, pack, grid), out, ck)
+    got = spark.read.parquet(out)
+    stream_pairs = {(r.pid, r.poly_id) for r in got.collect()}
+    batch = pip_join_points(
+        spark.createDataFrame(rows, PT_SCHEMA), pack, grid
+    )
+    batch_pairs = {(r.pid, r.poly_id) for r in batch.collect()}
+    assert stream_pairs == batch_pairs and len(stream_pairs) > 0
+
+    # delta-only resume (file sink + checkpoint = exactly-once)
+    more = [(1000 + i, _t(6), 10.0, 10.0) for i in range(20)]
+    _write_points(spark, src, more)
+    run_to_parquet(stream_pip_join(spark, src, PT_SCHEMA, pack, grid), out, ck)
+    final = spark.read.parquet(out)
+    new_pids = {r.pid for r in final.filter(F.col("pid") >= 1000).collect()}
+    # (10, 10) is nation 0's octagon center → every delta row enriches
+    assert new_pids == {1000 + i for i in range(20)}
+    assert final.count() == len(stream_pairs) + 20
