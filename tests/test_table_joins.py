@@ -250,3 +250,45 @@ def test_bigbig_within_coveredby_predicates(spark, sf_dir):
             if p_covers(og, g):
                 expect_c.add((r["pid"], pid))
     assert got_c == expect_c
+
+
+def test_bigbig_join_accepts_z_wkb(spark, sf_dir):
+    """Z-bearing WKB inputs flow through the big×big join unchanged:
+    the envelope UDF and batch kernels operate on XY, so the result set
+    equals the 2-D join's (Z is payload, not topology)."""
+    import numpy as np
+
+    import __spark_entry__ as E
+    from nettopologysuite_spark.engine.derive import nation_octagon_geom
+    from nettopologysuite_spark.engine.joins import spatial_join_bigbig
+    from nettopologysuite_spark.kernels.cells import Grid
+    from nettopologysuite_spark.kernels.geom import wkb_dumps, wkb_loads
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd
+
+    rects = E._event_rects(spark, sf_dir)
+
+    @pandas_udf("binary")
+    def _add_z(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            g = wkb_loads(bytes(b))
+            g.ring_zs = [np.full(len(r), 5.0) for r in g.rings]
+            out.append(wkb_dumps(g))
+        return pd.Series(out)
+
+    zrects = rects.select("pid", _add_z(F.col("geom_wkb")).alias("geom_wkb"))
+    keys = E._nation_keys(spark, sf_dir)
+    octs = spark.createDataFrame(
+        [(f"oct-{k}", wkb_dumps(nation_octagon_geom(k))) for k in keys],
+        "poly_id string, oct_wkb binary",
+    )
+    grid = Grid(0.0, 0.0, 100.0, 100.0, level=5)
+    a = {(r.pid, r.poly_id) for r in spatial_join_bigbig(
+        zrects, octs, grid, "intersects",
+        left_id="pid", right_id="poly_id",
+        left_wkb="geom_wkb", right_wkb="oct_wkb",
+    ).select("pid", "poly_id").collect()}
+    b = {(r.pid, r.poly_id) for r in E.q_poly_poly_join(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
