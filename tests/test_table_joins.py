@@ -292,3 +292,26 @@ def test_bigbig_join_accepts_z_wkb(spark, sf_dir):
     ).select("pid", "poly_id").collect()}
     b = {(r.pid, r.poly_id) for r in E.q_poly_poly_join(spark, sf_dir).collect()}
     assert a == b and len(a) > 0
+
+
+def test_knn_join_geom_empty_sides(spark):
+    """Empty data or empty query side terminates the round loop and
+    returns an empty, correctly-typed frame."""
+    from nettopologysuite_spark.engine.joins import knn_join_geom
+    from nettopologysuite_spark.kernels.cells import Grid
+    from nettopologysuite_spark.kernels.geom import polygon, wkb_dumps
+
+    grid = Grid(0.0, 0.0, 100.0, 100.0, level=5)
+    rect = wkb_dumps(polygon([(1, 1), (2, 1), (2, 2), (1, 2), (1, 1)]))
+    some = spark.createDataFrame([(1, rect)], "pid long, geom_wkb binary")
+    empty = spark.createDataFrame([], "pid long, geom_wkb binary")
+    qdf = spark.createDataFrame([("q0", rect)], "q string, q_wkb binary")
+    qempty = spark.createDataFrame([], "q string, q_wkb binary")
+
+    out1 = knn_join_geom(qdf, empty, grid, k=3, q_id="q", q_wkb="q_wkb",
+                         d_id="pid", d_wkb="geom_wkb")
+    assert out1.count() == 0
+    assert set(out1.columns) == {"q", "rank", "pid", "dist2"}
+    out2 = knn_join_geom(qempty, some, grid, k=3, q_id="q", q_wkb="q_wkb",
+                         d_id="pid", d_wkb="geom_wkb")
+    assert out2.count() == 0
