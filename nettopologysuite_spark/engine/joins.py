@@ -695,14 +695,22 @@ def spatial_join_wkb(
 def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
     """Boolean pandas UDF (left_wkb, right_wkb) → predicate(left, right).
 
-    Per Arrow batch: rights factorize to uniques (each parsed + prepared
-    ONCE), lefts decode to one columnar ``GeomBatch`` (uniform WKBs via a
-    single buffer reinterpretation), and every right group evaluates through
-    the whole-array passes of ``kernels/batchgeom.batch_intersects`` — the
-    batched analog of ``Geometries/Prepared/PreparedPolygonIntersects.cs:
-    38-60``. Non-intersects predicates / ``exact_relate`` fall back to the
-    per-pair DE-9IM relate kernel on the (already envelope- and cell-
-    filtered) survivors.
+    Per Arrow batch both sides factorize to uniques (each geometry parsed /
+    prepared / columnar-decoded ONCE), then the whole-array kernels
+    evaluate per group:
+
+    - ``intersects``              → ``batch_intersects`` grouped by right
+      (``PreparedPolygonIntersects.cs:38-60`` batched)
+    - ``covers`` / ``contains``   → ``batch_covers_rights`` grouped by the
+      LEFT container (``AbstractPreparedPolygonContains.cs`` role split)
+    - ``within`` / ``coveredby``  → same kernel grouped by the RIGHT
+      container (the symmetric predicates)
+
+    Only the boundary-sensitive DE-9IM predicates (touches / crosses /
+    overlaps / equals patterns) and ``exact_relate`` evaluate per pair
+    through the full relate-matrix kernel — they need the complete
+    dimension-classified matrix, and their join use is rare enough that
+    the (already envelope- and cell-filtered) survivor set stays small.
     """
     from ..kernels.batchgeom import (
         GeomBatch,
