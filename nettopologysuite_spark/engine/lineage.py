@@ -163,3 +163,27 @@ class SnapshotLog:
         if stage not in snap["stages"]:
             raise KeyError(f"snapshot {snapshot_id} has no stage {stage!r}")
         return spark.read.parquet(os.path.join(snap["stages"][stage], "data"))
+
+
+def expire_snapshots(log: "SnapshotLog", keep_last: int = 3) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots from the log (the
+    Iceberg expire-snapshots maintenance op). Returns the expired ids.
+    The newest snapshot is never expirable; stage data directories are NOT
+    touched — use :func:`orphan_stages` to find unreferenced ones."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    ids = log.snapshot_ids()
+    expired = ids[:-keep_last] if len(ids) > keep_last else []
+    for sid in expired:
+        os.remove(os.path.join(log.dir, f"snap-{sid:08d}.json"))
+    return expired
+
+
+def orphan_stages(log: "SnapshotLog", candidates: list[str]) -> list[str]:
+    """Stage directories in ``candidates`` referenced by NO remaining
+    snapshot — safe to garbage-collect after expiry (reported, never
+    deleted here: removal is the caller's explicit, audited act)."""
+    live: set[str] = set()
+    for sid in log.snapshot_ids():
+        live.update(os.path.abspath(p) for p in log.get(sid)["stages"].values())
+    return [c for c in candidates if os.path.abspath(c) not in live]

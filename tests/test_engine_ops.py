@@ -211,3 +211,38 @@ def test_sample_and_quantiles_semantics(spark):
     # rank ceil(.5*11)=6 → len 20; ceil(.9*11)=10 → 28; ceil(.99*11)=11 → 30
     assert (q["s0"]["n_docs"], q["s0"]["p50"], q["s0"]["p90"], q["s0"]["p99"]) \
         == (11, 20, 28, 30)
+
+
+def test_snapshot_expiry_and_orphans(spark, tmp_path):
+    import os
+
+    from nettopologysuite_spark.engine.lineage import (
+        SnapshotLog,
+        expire_snapshots,
+        orphan_stages,
+        run_stage,
+    )
+
+    root = str(tmp_path / "pipe")
+    dirs = []
+    log = SnapshotLog(root)
+    for i in range(5):
+        d = os.path.join(root, f"stage{i}")
+        run_stage(spark, d, lambda: spark.range(5).withColumnRenamed("id", "k"),
+                  key_col="k", stage_name=f"stage{i}")
+        dirs.append(d)
+        log.commit({f"stage{i}": d})
+    assert log.snapshot_ids() == [1, 2, 3, 4, 5]
+    expired = expire_snapshots(log, keep_last=2)
+    assert expired == [1, 2, 3]
+    assert log.snapshot_ids() == [4, 5]
+    # snapshots 4 and 5 reference stage3 and stage4 only
+    orphans = orphan_stages(log, dirs)
+    assert orphans == dirs[:3]
+    # the data of live snapshots still reads
+    assert log.read_at(spark, 5, "stage4").count() == 5
+    # history remains append-only after expiry
+    d = os.path.join(root, "stage9")
+    run_stage(spark, d, lambda: spark.range(2).withColumnRenamed("id", "k"),
+              key_col="k")
+    assert log.commit({"stage9": d}) == 6
