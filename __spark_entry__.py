@@ -412,6 +412,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, ANN_NQ, ANN_K)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (sources != src0) scored by
+    word-trigram overlap against the src0 'benchmark' set; flag at ≥30%
+    overlap in exact integer arithmetic."""
+    from nettopologysuite_spark.engine.text import decontaminate
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+
+
 def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random projection of the embeddings to 16 components
     (JL compression ahead of ANN) — exact integer arithmetic, zero
@@ -753,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "ann_ivf": q_ann_ivf,
         "embed_project": q_embed_project,
+        "decontaminate": q_decontaminate,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
         "doc_sample": q_doc_sample,
@@ -1143,6 +1158,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter i JOIN sizes s1 ON s1.doc_id = i.d1 "
             "JOIN sizes s2 ON s2.doc_id = i.d2 "
             "WHERE i.ni * 100 >= (s1.n + s2.n - i.ni) * 80"
+        ),
+        "decontaminate": (
+            "WITH w AS (SELECT doc_id, source, "
+            "regexp_split_to_array(TRIM(text), '\\s+') AS ws FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, source, "
+            "CASE WHEN LEN(ws) < 3 THEN array_to_string(ws, ' ') "
+            "ELSE ws[i.i] || ' ' || ws[i.i + 1] || ' ' || ws[i.i + 2] END AS gram "
+            "FROM w JOIN generate_series(1, 1000) i(i) "
+            "ON i.i <= GREATEST(LEN(ws) - 2, 1)), "
+            "bg AS (SELECT DISTINCT gram FROM g WHERE source = 'src0') "
+            "SELECT c.doc_id, COUNT(*) AS n_grams, "
+            "COUNT(bg.gram) AS n_contaminated, "
+            "COUNT(bg.gram) * 100 >= COUNT(*) * 30 AS flagged "
+            "FROM g c LEFT JOIN bg ON c.gram = bg.gram "
+            "WHERE c.source <> 'src0' GROUP BY c.doc_id"
         ),
         "doc_sample": (
             "SELECT doc_id, source, smp_rank FROM ("

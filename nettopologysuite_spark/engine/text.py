@@ -164,3 +164,65 @@ def length_quantiles(docs: DataFrame, text_col: str = "text",
         )
         .select(strat_col, "n_docs", "p50", "p90", "p99")
     )
+
+
+def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(_id, gram) DISTINCT word n-grams — native split/transform/explode.
+    Texts shorter than n words contribute their whole token string as one
+    gram (so every doc participates)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"),
+        )
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(_ws) < {n} THEN array(array_join(_ws, ' ')) "
+                    f"ELSE transform(sequence(0, size(_ws) - {n}), "
+                    "i -> " + " || ' ' || ".join(
+                        f"_ws[i + {j}]" for j in range(n)
+                    ) + ") END"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 3,
+                  threshold_pct: int = 30, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the count and share of
+    its distinct word n-grams that appear ANYWHERE in the benchmark set —
+    the standard eval-leak filter before training. Returns
+    (doc_id, n_grams, n_contaminated, flagged) with the flag in exact
+    integer arithmetic (contaminated·100 ≥ threshold·total).
+
+    Shape at 100 TB: the benchmark gram vocabulary is tiny relative to the
+    corpus → distinct once, broadcast; the corpus grams stream through one
+    explode + broadcast semi-probe + per-doc aggregate — a single shuffle
+    on doc_id."""
+    bgrams = (
+        word_ngrams(bench, n, text_col, id_col)
+        .select("gram").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    grams = word_ngrams(docs, n, text_col, id_col)
+    marked = grams.join(F.broadcast(bgrams), "gram", "left")
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_grams"),
+            F.col("n_contaminated"),
+            (F.col("n_contaminated") * 100 >= F.col("n_grams") * threshold_pct)
+            .alias("flagged"),
+        )
+    )

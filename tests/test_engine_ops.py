@@ -246,3 +246,26 @@ def test_snapshot_expiry_and_orphans(spark, tmp_path):
     run_stage(spark, d, lambda: spark.range(2).withColumnRenamed("id", "k"),
               key_col="k")
     assert log.commit({"stage9": d}) == 6
+
+
+def test_decontaminate_semantics(spark):
+    from nettopologysuite_spark.engine.text import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),   # shares "the quick brown" etc.
+         (2, "completely different words here now"),
+         (3, "hi")],                          # shorter than n → whole-text gram
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox ran"), (101, "hi")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["n_contaminated"], r["flagged"])
+           for r in decontaminate(corpus, bench).collect()}
+    # doc 1: trigrams = {the quick brown, quick brown fox, brown fox jumps};
+    # bench has the first two → 2/3 ≥ 30% → flagged
+    assert got[1] == (3, 2, True)
+    assert got[2] == (3, 0, False)
+    # doc 3: whole-text gram "hi" appears in bench → fully contaminated
+    assert got[3] == (1, 1, True)
