@@ -272,9 +272,37 @@ def ann_lsh_oracle_sql(n_queries: int, k: int) -> str:
 # IVF-Flat (inverted-file) ANN — the partitioned scale path
 # ---------------------------------------------------------------------------
 
-IVF_CENT_MOD = 31   # centroid sample: vec_id % MOD == RES → nlist ≈ n/31
-IVF_CENT_RES = 7
+IVF_MAX_NLIST = 4096  # hard cap: centroid broadcast ≤ ~2 MB at dim 64
 IVF_NPROBE = 2
+
+
+def _ceil_sqrt(n: int) -> int:
+    """Exact integer ceil(sqrt(n)) — no float round-off at perfect squares."""
+    import math
+
+    if n <= 1:
+        return 1
+    r = math.isqrt(n)
+    return r if r * r >= n else r + 1
+
+
+def ivf_nlist(n: int) -> int:
+    """Coarse-quantizer size: ⌈√n⌉ capped at :data:`IVF_MAX_NLIST`.
+
+    The cap is the scale contract — nlist never grows past a constant, so
+    the centroid broadcast stays bounded and the assignment join is a
+    linear scan × O(1) broadcast rows, at any corpus size. √n below the
+    cap balances list length (n/nlist) against probe cost (nlist), the
+    standard IVF sizing rule."""
+    return max(1, min(IVF_MAX_NLIST, _ceil_sqrt(n)))
+
+
+def _cent_hash(id_col: str) -> str:
+    """Deterministic 32-bit LCG + xor-fold over the id — the centroid
+    pseudo-random sampling key, identical expression in Spark SQL and the
+    DuckDB oracle (pure BIGINT arithmetic)."""
+    lcg = f"(({id_col} * {_LCG}) % 4294967296)"
+    return f"(CAST({lcg} AS BIGINT) ^ CAST(shiftright({lcg}, 16) AS BIGINT))"
 
 _QDOT = ("aggregate(zip_with({a}, {b}, (x, y) -> "
          "floor(CAST(x AS DOUBLE) * 1024D) * floor(CAST(y AS DOUBLE) * 1024D)), "
@@ -302,14 +330,20 @@ def ivf_topk(emb: DataFrame, n_queries: int, k: int,
     coarse centroid; each query probes its ``nprobe`` nearest lists and
     re-ranks exactly within them. Returns (q_id, rank, nbr_id, sim).
 
-    The coarse quantizer here is a DETERMINISTIC SAMPLE of the dataset
-    (``vec_id % 31 == 7`` → nlist ≈ n/31) rather than trained k-means —
-    the index structure, dataflow, and cost model are identical (one
-    broadcast assignment pass, one list-partitioned shuffle, candidates =
-    nprobe/nlist of the data); swap the centroid table for trained
-    centroids at scale without touching the plan. Everything is exact
-    integer arithmetic on floor(x·1024), reproduced bit-for-bit by the
-    DuckDB oracle.
+    The coarse quantizer is a DETERMINISTIC HASH SAMPLE of the dataset:
+    the ⌈√n⌉ ids with the smallest LCG hash (capped at
+    :data:`IVF_MAX_NLIST`) become centroids. nlist is therefore
+    INDEPENDENT of n beyond the √n growth and never exceeds the cap, so
+    the centroid broadcast is bounded (≤ ~2 MB) and the assignment join is
+    one linear scan against O(1) broadcast rows — the plan survives 100 TB.
+    Selection itself is ``orderBy(hash).limit(nlist)``, which Spark
+    executes as TakeOrderedAndProject (per-partition partial top-k, no
+    global sort). The index structure, dataflow, and cost model match
+    trained-k-means IVF (one broadcast assignment pass, one
+    list-partitioned shuffle, candidates ≈ nprobe/nlist of the data);
+    swapping in trained centroids touches only the ``cents`` table.
+    Everything is exact integer arithmetic on floor(x·1024), reproduced
+    bit-for-bit by the DuckDB oracle (same hash, same ⌈√n⌉ rule).
 
     Each vector's quantized array and norm are computed ONCE and carried
     through the n×nlist assignment join (not re-derived per pair) —
@@ -324,10 +358,14 @@ def ivf_topk(emb: DataFrame, n_queries: int, k: int,
         emb.select(F.col(id_col), F.expr(qarr).alias("_q"),
                    F.expr(f"coalesce({qnorm}, 0D)").alias("_n"))
     )
-    cents = quant.filter(
-        F.col(id_col) % IVF_CENT_MOD == IVF_CENT_RES
-    ).select(F.col(id_col).alias("cid"), F.col("_q").alias("_cq"),
-             F.col("_n").alias("_cn"))
+    nlist = ivf_nlist(emb.count())
+    cents = (
+        quant.withColumn("_h", F.expr(_cent_hash(id_col)))
+        .orderBy("_h", id_col)   # TakeOrderedAndProject: partial top-k
+        .limit(nlist)
+        .select(F.col(id_col).alias("cid"), F.col("_q").alias("_cq"),
+                F.col("_n").alias("_cn"))
+    )
     def pair_sim(q: str, n: str) -> str:
         return (
             f"(CASE WHEN {n} = 0D OR _cn = 0D THEN -2D ELSE "
@@ -397,10 +435,16 @@ def _sim_sql(a: str, b: str) -> str:
 
 def ivf_oracle_sql(n_queries: int, k: int, nprobe: int = IVF_NPROBE) -> str:
     """The identical IVF definition in DuckDB SQL — bit-for-bit comparable
-    with :func:`ivf_topk`."""
+    with :func:`ivf_topk` (same LCG hash sample, same ⌈√n⌉-capped nlist)."""
+    lcg = f"((vec_id * {_LCG}) % 4294967296)"
+    h = f"xor({lcg}, {lcg} >> 16)"
     return (
-        f"WITH cents AS (SELECT vec_id AS cid, embedding AS c_emb "
-        f"FROM embeddings WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_RES}), "
+        f"WITH eh AS (SELECT vec_id, embedding, {h} AS h FROM embeddings), "
+        "cents AS (SELECT vec_id AS cid, embedding AS c_emb FROM ("
+        "  SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rk, "
+        "  COUNT(*) OVER () AS nn FROM eh) t "
+        f"WHERE rk <= GREATEST(1, LEAST({IVF_MAX_NLIST}, "
+        "CAST(CEIL(SQRT(nn)) AS BIGINT)))), "
         "assigned AS (SELECT vec_id, embedding, cid FROM ("
         "  SELECT e.vec_id, e.embedding, c.cid, ROW_NUMBER() OVER ("
         "    PARTITION BY e.vec_id ORDER BY "
