@@ -259,6 +259,59 @@ def _event_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select("pid", _rect_wkb(F.col("pid"), F.col("x"), F.col("y")).alias("geom_wkb"))
 
 
+def _event_rects_snapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-snapped event rectangles (lower-left = floor of the LCG
+    point, extents 1+pid%3 × 1+pid%2) — exact corners make edge/corner
+    contact (touches) common, mirroring `derive.snapped_rect_corners`."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    pts = _event_points(spark, sf_dir)
+
+    @pandas_udf("binary")
+    def _rect_wkb(pid: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        x1, y1, x2, y2 = derive.snapped_rect_corners(
+            pid.to_numpy(np.int64), x.to_numpy(np.float64), y.to_numpy(np.float64)
+        )
+        n = len(x1)
+        buf = np.zeros((n, 93), dtype=np.uint8)
+        buf[:, 0] = 1  # little-endian
+        buf[:, 1] = 3  # POLYGON
+        buf[:, 5] = 1  # one ring
+        buf[:, 9] = 5  # five points (closed)
+        coords = np.empty((n, 10), dtype=np.float64)
+        coords[:, 0::2] = np.stack([x1, x2, x2, x1, x1], axis=1)
+        coords[:, 1::2] = np.stack([y1, y1, y2, y2, y1], axis=1)
+        buf[:, 13:] = coords.view(np.uint8).reshape(n, 80)
+        return pd.Series([r.tobytes() for r in buf])
+
+    return pts.select("pid", _rect_wkb(F.col("pid"), F.col("x"), F.col("y")).alias("geom_wkb"))
+
+
+def q_poly_poly_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big TOUCHES join (DE-9IM boundary-only contact): integer-snapped
+    event rectangles × nation rectangles — same native cell equi-join
+    machinery, refine through the BATCHED DE-9IM composition
+    (touches = batch_intersects ∧ ¬batch_interiors_intersect, whole-array
+    PIP/parity/crossing passes; zero per-pair Python — the round-5 close of
+    the last relate fallback, `Operation/RelateNG/TopologyComputer.cs`
+    semantics batched)."""
+    from nettopologysuite_spark.engine.joins import spatial_join_bigbig
+    from nettopologysuite_spark.kernels.geom import wkb_dumps
+
+    rects = _event_rects_snapped(spark, sf_dir)
+    keys = _nation_keys(spark, sf_dir)
+    nrects = spark.createDataFrame(
+        [(f"rect-{k}", wkb_dumps(derive.nation_rect_geom(k))) for k in keys],
+        "poly_id string, rect_wkb binary",
+    )
+    out = spatial_join_bigbig(
+        rects, nrects, Grid(0.0, 0.0, 100.0, 100.0, level=5), "touches",
+        left_id="pid", right_id="poly_id", left_wkb="geom_wkb", right_wkb="rect_wkb",
+    )
+    return out.select("pid", "poly_id")
+
+
 def q_poly_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big×big spatial join: event rectangles (DataFrame) × nation octagons
     (DataFrame) — native cell equi-join with codegen envelope-overlap and
@@ -761,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixed_join": q_docs_mixed_join,
         "poly_poly_join": q_poly_poly_join,
         "poly_poly_contains": q_poly_poly_contains,
+        "poly_poly_touches": q_poly_poly_touches,
         "within_dist_join_geom": q_within_dist_join_geom,
         "media_features": q_media_features,
         "knn_join_geom": q_knn_join_geom,
@@ -1021,6 +1075,15 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE (p.x - {cx}) * (p.x - {cx}) + (p.y - {cy}) * (p.y - {cy}) "
         f"<= {r_sql} * {r_sql}"
     )
+
+    def _touches_sql() -> str:
+        ax1, ay1, ax2, ay2 = derive.snapped_rect_corners_sql("p.pid", "p.x", "p.y")
+        bx1, by1, bx2, by2 = derive.nation_rect_corners_sql("n.n_nationkey")
+        return (
+            f"SELECT p.pid, 'rect-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
+            f"FROM {_PTS} p CROSS JOIN nation n WHERE "
+            + derive.rects_touch_sql_pred(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+        )
     return {
         "tile_assign": f"SELECT pid, {_cell_sql('x', 'y', GRID)} AS cell_id FROM {_PTS} p",
         "tile_morton": f"SELECT pid, {morton_sql_expr(ix6, iy6, GRID.level)} AS z_order FROM {_PTS} p",
@@ -1071,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE "
             + derive.rect_in_octagon_sql_pred("p.x", "p.y", "p.w", "p.h", "n.n_nationkey")
         ),
+        "poly_poly_touches": _touches_sql(),
         "within_dist_join_geom": (
             f"SELECT p.pid, 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
             f"FROM (SELECT pid, x, y, (1 + pid % 3) AS w, (1 + pid % 2) AS h "

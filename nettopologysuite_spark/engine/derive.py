@@ -361,6 +361,51 @@ def seg_octagon_sql_pred(x1: str, y1: str, x2: str, y2: str, nk: str,
     return "(" + " AND ".join(conds) + ")"
 
 
+def snapped_rect_corners_sql(pid: str, x: str, y: str) -> tuple[str, str, str, str]:
+    """(x1, y1, x2, y2) SQL expressions of the INTEGER-SNAPPED event rect:
+    lower-left = floor of the LCG point, extents 1+pid%3 × 1+pid%2. Integer
+    corners make edge-to-edge contact (touches) common and exactly
+    representable — valid in both Spark SQL and DuckDB."""
+    x1 = f"CAST(FLOOR({x}) AS DOUBLE)"
+    y1 = f"CAST(FLOOR({y}) AS DOUBLE)"
+    return (x1, y1, f"({x1} + (1 + {pid} % 3))", f"({y1} + (1 + {pid} % 2))")
+
+
+def snapped_rect_corners(pid: np.ndarray, x: np.ndarray, y: np.ndarray):
+    """numpy twin of :func:`snapped_rect_corners_sql`."""
+    pid = np.asarray(pid, dtype=np.int64)
+    x1 = np.floor(np.asarray(x, dtype=np.float64))
+    y1 = np.floor(np.asarray(y, dtype=np.float64))
+    return x1, y1, x1 + (1 + pid % 3), y1 + (1 + pid % 2)
+
+
+def rects_touch_sql_pred(ax1: str, ay1: str, ax2: str, ay2: str,
+                         bx1: str, by1: str, bx2: str, by2: str) -> str:
+    """SQL predicate: axis-aligned rects a and b TOUCH (boundaries meet,
+    interiors disjoint) — closed form: the envelope intersection is
+    non-empty but degenerate in at least one axis. Exact on the snapped
+    integer corners."""
+    ox1 = f"GREATEST({ax1}, {bx1})"
+    oy1 = f"GREATEST({ay1}, {by1})"
+    ox2 = f"LEAST({ax2}, {bx2})"
+    oy2 = f"LEAST({ay2}, {by2})"
+    return (
+        f"({ox1} <= {ox2} AND {oy1} <= {oy2} "
+        f"AND ({ox1} = {ox2} OR {oy1} = {oy2}))"
+    )
+
+
+def nation_rect_corners_sql(nk: str) -> tuple[str, str, str, str]:
+    """(x1, y1, x2, y2) SQL expressions of :func:`nation_rect` — integer
+    corners, valid in both Spark SQL and DuckDB."""
+    cx = f"(10 + ({nk} % 5) * 20)"
+    cy = f"(10 + (CAST(FLOOR({nk} / 5) AS BIGINT)) * 20)"
+    w = f"(3 + ({nk} % 4))"
+    h = f"(2 + ({nk} % 3))"
+    return (f"CAST({cx} - {w} AS DOUBLE)", f"CAST({cy} - {h} AS DOUBLE)",
+            f"CAST({cx} + {w} AS DOUBLE)", f"CAST({cy} + {h} AS DOUBLE)")
+
+
 def nation_radius(nk: int) -> float:
     return float(5 + (nk % 3) * 2)
 

@@ -561,18 +561,27 @@ def _batched_pair_eval(pack: PolygonPack, predicate: str):
     "predicate(poly, point)" convention — batched: WKB parsed once per row,
     point-typed rows evaluated via the vectorized prepared-PIP kernel per
     poly group, extended rows via the vectorized batch-intersects /
-    batch-covers kernels (whole-array PIP/parity/segment passes); only
-    predicates outside {intersects, covers, contains} fall back to the
-    per-pair relate kernel on extended rows.
+    batch-covers / batch-II kernels (whole-array PIP/parity/segment
+    passes). The DE-9IM predicates vectorize too: for point rows they are
+    closed-form in the prepared locate (touches ⇔ on boundary; crosses /
+    overlaps / equalsTopo ⇔ False by the dimension rules), for
+    pure-polygonal rows they compose from the batched II and covers
+    passes; only mixed-dimension extended rows fall back to the per-pair
+    relate kernel.
     """
     from ..kernels.batchgeom import (
         GeomBatch,
         PreparedRight,
+        batch_covers_right,
         batch_covers_rights,
+        batch_interiors_intersect,
         batch_intersects,
     )
     from ..kernels.geom import POINT, wkb_loads
+    from ..kernels.pip import BOUNDARY
     from ..kernels.predicates import _polygon_leaves, evaluate_predicate
+
+    im_preds = ("touches", "overlaps", "equalstopo", "equals", "crosses")
 
     @pandas_udf("boolean")
     def _eval(wkb: pd.Series, poly_id: pd.Series) -> pd.Series:
@@ -598,6 +607,11 @@ def _batched_pair_eval(pack: PolygonPack, predicate: str):
                 prep = prepared[pid]
                 if predicate == "contains":
                     out[idx] = prep.contains_points(xs, ys)
+                elif predicate == "touches":
+                    # touches(areal, point) ⇔ point ON the boundary
+                    out[idx] = prep.locate(xs, ys) == BOUNDARY
+                elif predicate in im_preds:
+                    pass  # crosses/overlaps/equalsTopo(areal, point) ≡ False
                 else:
                     out[idx] = prep.covers_points(xs, ys)
             ext_sel = sel & ~is_pt
@@ -624,6 +638,46 @@ def _batched_pair_eval(pack: PolygonPack, predicate: str):
                         contains=(predicate == "contains"),
                         geom_of=lambda k: geoms_list[k],
                     )
+                elif predicate in im_preds:
+                    # DE-9IM predicates, predicate(pg, row): batched II +
+                    # covers composition for pure-polygonal rows (see
+                    # pair_refine_udf), scalar relate for mixed rows
+                    if ext_gb is None:
+                        ext_gb = GeomBatch(geoms_list)
+                    pr_pg = PreparedRight(pg)
+                    purity = (
+                        ext_gb.pure_poly[idx] if pr_pg.pure_poly
+                        else np.zeros(len(idx), dtype=bool)
+                    )
+                    vi = idx[purity]
+                    if len(vi) and predicate == "touches":
+                        inter = batch_intersects(ext_gb, vi, pr_pg)
+                        hit = vi[inter]
+                        if len(hit):
+                            ii = batch_interiors_intersect(
+                                ext_gb, hit, pr_pg,
+                                geom_of=lambda k: geoms_list[k],
+                            )
+                            out[hit] = ~ii
+                    elif len(vi) and predicate in ("equalstopo", "equals"):
+                        c_lr = batch_covers_rights(ext_gb, vi, pr_pg)
+                        hit = vi[c_lr]
+                        if len(hit):
+                            out[hit] = batch_covers_right(ext_gb, hit, pg)
+                    elif len(vi) and predicate == "overlaps":
+                        ii = batch_interiors_intersect(
+                            ext_gb, vi, pr_pg,
+                            geom_of=lambda k: geoms_list[k],
+                        )
+                        hit = vi[ii]
+                        if len(hit):
+                            out[hit] = ~batch_covers_rights(
+                                ext_gb, hit, pr_pg
+                            ) & ~batch_covers_right(ext_gb, hit, pg)
+                    # crosses(areal, areal) ≡ False — nothing to set
+                    for i in idx[~purity]:
+                        if geoms_list[i] is not None:
+                            out[i] = evaluate_predicate(predicate, pg, geoms_list[i])
                 else:
                     # general path: full relate kernel per surviving pair
                     for i in idx:
@@ -706,16 +760,29 @@ def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
     - ``within`` / ``coveredby``  → same kernel grouped by the RIGHT
       container (the symmetric predicates)
 
-    Only the boundary-sensitive DE-9IM predicates (touches / crosses /
-    overlaps / equals patterns) and ``exact_relate`` evaluate per pair
-    through the full relate-matrix kernel — they need the complete
-    dimension-classified matrix, and their join use is rare enough that
-    the (already envelope- and cell-filtered) survivor set stays small.
+    The boundary-sensitive DE-9IM predicates (``touches`` / ``crosses`` /
+    ``overlaps`` / ``equalstopo``) vectorize too whenever BOTH sides of a
+    pair are pure-polygonal — the join workload's shape — through the
+    batched interior/interior kernel (``batch_interiors_intersect``) and
+    the two batched covers orientations:
+
+    - ``touches``    → intersects ∧ ¬II
+    - ``overlaps``   → II ∧ ¬covers(l,r) ∧ ¬covers(r,l)
+    - ``equalstopo`` → covers(l,r) ∧ covers(r,l)
+    - ``crosses``    → constant False for areal × areal (dim rule)
+
+    Mixed-dimension rows within such a batch, and ``exact_relate``,
+    evaluate per pair through the full relate-matrix kernel — they need
+    the complete dimension-classified matrix, and their join use is rare
+    enough that the (already envelope- and cell-filtered) survivor set
+    stays small.
     """
     from ..kernels.batchgeom import (
         GeomBatch,
         PreparedRight,
+        batch_covers_right,
         batch_covers_rights,
+        batch_interiors_intersect,
         batch_intersects,
     )
     from ..kernels.geom import wkb_loads
@@ -728,6 +795,10 @@ def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
     # within/coveredby are covers/contains with the roles swapped: the
     # RIGHT is the container — same vectorized kernel, grouped by right
     vector_within = (not exact_relate) and predicate in ("within", "coveredby")
+    # DE-9IM predicates batch for pure-polygonal pairs (II + covers passes)
+    vector_im = (not exact_relate) and predicate in (
+        "touches", "overlaps", "equalstopo", "equals", "crosses"
+    )
     if exact_relate:
         pair_eval = lambda a, b: evaluate_predicate(predicate, a, b)  # noqa: E731
     else:
@@ -810,6 +881,61 @@ def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
                 else:
                     for i in np.flatnonzero(sel):
                         out[i] = pair_eval(_lgeom(int(lcodes[i])), pr.geom)
+        elif vector_im:
+            # touches / overlaps / equalstopo / crosses over pure-polygonal
+            # pairs: batched II + covers passes, grouped by right; rows
+            # with any non-areal part keep the scalar relate kernel
+            lcodes, luniq = pd.factorize(lwkb.to_numpy(object))
+            gb_left = GeomBatch.from_wkb([bytes(b) for b in luniq])
+            lgeom_cache: dict = {}
+
+            def _lgeom(k: int):
+                g = lgeom_cache.get(k)
+                if g is None:
+                    g = lgeom_cache[k] = wkb_loads(bytes(luniq[k]))
+                return g
+
+            for j, blob in enumerate(runiq):
+                sel = rcodes == j
+                pr = PreparedRight(wkb_loads(bytes(blob)))
+                vec = sel & gb_left.pure_poly[lcodes] if pr.pure_poly \
+                    else np.zeros(n, dtype=bool)
+                vidx_ = np.flatnonzero(vec)
+                lsel = lcodes[vidx_]
+                if len(vidx_):
+                    if predicate == "crosses":
+                        pass  # areal × areal never crosses (dim rule)
+                    elif predicate == "touches":
+                        inter = batch_intersects(gb_left, lsel, pr)
+                        hit = np.flatnonzero(inter)
+                        if len(hit):
+                            ii = batch_interiors_intersect(
+                                gb_left, lsel[hit], pr, geom_of=_lgeom,
+                            )
+                            out[vidx_[hit]] = ~ii
+                    elif predicate in ("equalstopo", "equals"):
+                        c_lr = batch_covers_right(gb_left, lsel, pr.geom)
+                        hit = np.flatnonzero(c_lr)
+                        if len(hit):
+                            c_rl = batch_covers_rights(
+                                gb_left, lsel[hit], pr, geom_of=_lgeom,
+                            )
+                            out[vidx_[hit]] = c_rl
+                    else:  # overlaps
+                        ii = batch_interiors_intersect(
+                            gb_left, lsel, pr, geom_of=_lgeom,
+                        )
+                        hit = np.flatnonzero(ii)
+                        if len(hit):
+                            not_cov = ~batch_covers_right(
+                                gb_left, lsel[hit], pr.geom,
+                            ) & ~batch_covers_rights(
+                                gb_left, lsel[hit], pr, geom_of=_lgeom,
+                            )
+                            out[vidx_[hit]] = not_cov
+                # scalar relate for mixed-dimension rows of this group
+                for i in np.flatnonzero(sel & ~vec):
+                    out[i] = pair_eval(_lgeom(int(lcodes[i])), pr.geom)
         else:
             rgeoms = [wkb_loads(bytes(b)) for b in runiq]
             # factorize lefts too: a geometry in m candidate pairs of this

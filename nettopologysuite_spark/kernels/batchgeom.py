@@ -72,11 +72,13 @@ class GeomBatch:
     """
 
     __slots__ = ("n", "vx", "vy", "v_start", "sax", "say", "sbx", "sby",
-                 "s_start", "pax", "pay", "pbx", "pby", "p_start", "p_leaf")
+                 "s_start", "pax", "pay", "pbx", "pby", "p_start", "p_leaf",
+                 "pure_poly")
 
     def __init__(self, geoms: list[Geom | None]):
         n = len(geoms)
         self.n = n
+        self.pure_poly = np.zeros(n, dtype=bool)
         v_chunks: list[np.ndarray] = []
         s_a: list[np.ndarray] = []
         s_b: list[np.ndarray] = []
@@ -90,7 +92,9 @@ class GeomBatch:
         leaf_ctr = 0
         for i, g in enumerate(geoms):
             if g is not None and not g.is_empty:
-                for leaf in g.flatten():
+                leaves = g.flatten()
+                self.pure_poly[i] = all(l.gtype == POLYGON for l in leaves)
+                for leaf in leaves:
                     if leaf.gtype == POINT or leaf.gtype == LINESTRING:
                         c = leaf.coords
                         if c is None or len(c) == 0:
@@ -173,6 +177,8 @@ class GeomBatch:
             out.sax = out.say = out.sbx = out.sby = z
             out.pax = out.pay = out.pbx = out.pby = z
             out.s_start = out.p_start = zi
+            out.p_leaf = np.empty(0, dtype=np.int64)
+            out.pure_poly = np.zeros(n, dtype=bool)
             return out
         if gtype == LINESTRING and L >= 9 + 32 and (L - 9) % 16 == 0:
             npts = int.from_bytes(bytes(first[5:9]), "little")
@@ -205,11 +211,13 @@ class GeomBatch:
             out.pbx, out.pby = out.sbx, out.sby
             out.p_start = out.s_start
             out.p_leaf = np.repeat(np.arange(n, dtype=np.int64), npts - 1)
+            out.pure_poly = np.ones(n, dtype=bool)
         else:
             z = np.empty(0, dtype=np.float64)
             out.pax = out.pay = out.pbx = out.pby = z
             out.p_start = np.zeros(n + 1, dtype=np.int64)
             out.p_leaf = np.empty(0, dtype=np.int64)
+            out.pure_poly = np.zeros(n, dtype=bool)
         return out
 
 
@@ -217,7 +225,8 @@ class PreparedRight:
     """Build-once probe side for batch_intersects (one right geometry)."""
 
     __slots__ = ("geom", "preps", "rvx", "rvy", "rax", "ray", "rbx", "rby",
-                 "lnax", "lnay", "lnbx", "lnby", "point_xy", "empty")
+                 "lnax", "lnay", "lnbx", "lnby", "point_xy", "empty",
+                 "pure_poly", "pgax", "pgay", "pgbx", "pgby")
 
     def __init__(self, g: Geom):
         self.geom = g
@@ -226,11 +235,13 @@ class PreparedRight:
         self.preps = [
             PreparedPolygon(l) for l in leaves if l.gtype in (POLYGON, MULTIPOLYGON)
         ]
+        self.pure_poly = bool(leaves) and all(l.gtype == POLYGON for l in leaves)
         c = g.all_coords() if not self.empty else np.empty((0, 2))
         self.rvx = np.ascontiguousarray(c[:, 0]) if len(c) else np.empty(0)
         self.rvy = np.ascontiguousarray(c[:, 1]) if len(c) else np.empty(0)
         a_, b_ = [], []
         la_, lb_ = [], []  # LINE-part segments only (see pass-1 note)
+        pa_, pb_ = [], []  # polygon-RING segments only (DE-9IM passes)
         for leaf in leaves:
             if leaf.gtype == LINESTRING and leaf.coords is not None and len(leaf.coords) >= 2:
                 a_.append(leaf.coords[:-1]); b_.append(leaf.coords[1:])
@@ -239,6 +250,7 @@ class PreparedRight:
                 for r in leaf.rings:
                     if len(r) >= 2:
                         a_.append(r[:-1]); b_.append(r[1:])
+                        pa_.append(r[:-1]); pb_.append(r[1:])
         z = np.empty(0, dtype=np.float64)
         if a_:
             a = np.concatenate(a_); b = np.concatenate(b_)
@@ -252,6 +264,12 @@ class PreparedRight:
             self.lnbx = np.ascontiguousarray(b[:, 0]); self.lnby = np.ascontiguousarray(b[:, 1])
         else:
             self.lnax = self.lnay = self.lnbx = self.lnby = z
+        if pa_:
+            a = np.concatenate(pa_); b = np.concatenate(pb_)
+            self.pgax = np.ascontiguousarray(a[:, 0]); self.pgay = np.ascontiguousarray(a[:, 1])
+            self.pgbx = np.ascontiguousarray(b[:, 0]); self.pgby = np.ascontiguousarray(b[:, 1])
+        else:
+            self.pgax = self.pgay = self.pgbx = self.pgby = z
         self.point_xy = np.array(
             [l.coords[0] for l in leaves
              if l.gtype == POINT and l.coords is not None and len(l.coords)],
@@ -557,6 +575,40 @@ def batch_covers_rights(
     return res
 
 
+def _locate_probe_rows(gb: GeomBatch, ls: np.ndarray, qx: float, qy: float):
+    """(on_boundary, inside_parity) of one probe point against the polygonal
+    part of every row in ``ls`` — whole-array over the batch's ring
+    segments (even-odd parity per leaf, OR-ed; on-segment detected
+    exactly)."""
+    cnt = gb.p_start[ls + 1] - gb.p_start[ls]
+    pidx, powner = _ranges_concat(gb.p_start[ls], cnt)
+    on_b = np.zeros(len(ls), dtype=bool)
+    inside = np.zeros(len(ls), dtype=bool)
+    if not len(pidx):
+        return on_b, inside
+    x1 = gb.pax[pidx]; y1 = gb.pay[pidx]
+    x2 = gb.pbx[pidx]; y2 = gb.pby[pidx]
+    d = (x2 - x1) * (qy - y1) - (y2 - y1) * (qx - x1)
+    on_seg = (
+        (d == 0.0)
+        & (qx >= np.minimum(x1, x2)) & (qx <= np.maximum(x1, x2))
+        & (qy >= np.minimum(y1, y2)) & (qy <= np.maximum(y1, y2))
+    )
+    on_b |= np.bincount(powner[on_seg], minlength=len(ls)) > 0
+    # even-odd parity per (owner, leaf), OR-ed across leaves
+    okey = powner * np.int64(gb.p_leaf.max() + 1 if len(gb.p_leaf) else 1) \
+        + gb.p_leaf[pidx]
+    ukey, key_inv = np.unique(okey, return_inverse=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        straddle = (y1 > qy) != (y2 > qy)
+        xint = x1 + (qy - y1) * (x2 - x1) / (y2 - y1)
+        crossed = straddle & (qx < xint)
+    cnt_leaf = np.bincount(key_inv[crossed], minlength=len(ukey))
+    leaf_inside = (cnt_leaf & 1).astype(bool)
+    inside |= np.bincount(powner[leaf_inside[key_inv]], minlength=len(ls)) > 0
+    return on_b, inside
+
+
 def batch_covers_right(
     gb: GeomBatch,
     lefts: np.ndarray,
@@ -608,39 +660,7 @@ def batch_covers_right(
             int_probes = np.concatenate([cover_probes, np.array([[ip[0], ip[1]]])])
 
     def _locate_probe(qx: float, qy: float, sub: np.ndarray):
-        """(on_boundary, inside_parity) of one probe point against every
-        left in ``sub`` — whole-array over the batch's ring segments."""
-        ls = lefts[sub]
-        cnt = gb.p_start[ls + 1] - gb.p_start[ls]
-        pidx, powner = _ranges_concat(gb.p_start[ls], cnt)
-        on_b = np.zeros(len(sub), dtype=bool)
-        inside = np.zeros(len(sub), dtype=bool)
-        if not len(pidx):
-            return on_b, inside
-        x1 = gb.pax[pidx]; y1 = gb.pay[pidx]
-        x2 = gb.pbx[pidx]; y2 = gb.pby[pidx]
-        d = (x2 - x1) * (qy - y1) - (y2 - y1) * (qx - x1)
-        on_seg = (
-            (d == 0.0)
-            & (qx >= np.minimum(x1, x2)) & (qx <= np.maximum(x1, x2))
-            & (qy >= np.minimum(y1, y2)) & (qy <= np.maximum(y1, y2))
-        )
-        hit = np.bincount(powner[on_seg], minlength=len(sub)) > 0
-        on_b |= hit
-        # even-odd parity per (owner, leaf), OR-ed across leaves
-        okey = powner * np.int64(gb.p_leaf.max() + 1 if len(gb.p_leaf) else 1) \
-            + gb.p_leaf[pidx]
-        ukey, key_inv = np.unique(okey, return_inverse=True)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            straddle = (y1 > qy) != (y2 > qy)
-            xint = x1 + (qy - y1) * (x2 - x1) / (y2 - y1)
-            crossed = straddle & (qx < xint)
-        cnt_leaf = np.bincount(key_inv[crossed], minlength=len(ukey))
-        leaf_inside = (cnt_leaf & 1).astype(bool)
-        seg_in = leaf_inside[key_inv]
-        ins = np.bincount(powner[seg_in], minlength=len(sub)) > 0
-        inside |= ins
-        return on_b, inside
+        return _locate_probe_rows(gb, lefts[sub], qx, qy)
 
     # ---- pass 1 + 3: every cover probe in/on each left ------------------
     has_int = np.zeros(n, dtype=bool)
@@ -678,6 +698,129 @@ def batch_covers_right(
                 ok[sub[bad]] = False
 
     return (ok & has_int) if contains else ok
+
+
+# ---------------------------------------------------------------------------
+# vectorized interior/interior test (the DE-9IM II entry for areal pairs)
+# ---------------------------------------------------------------------------
+
+def batch_interiors_intersect(
+    gb: GeomBatch,
+    lefts: np.ndarray,
+    other: Geom | PreparedRight,
+    geom_of=None,
+) -> np.ndarray:
+    """Vectorized int(gb[i]) ∩ int(other) ≠ ∅ for PURE-POLYGONAL pairs —
+    the II entry of the DE-9IM, which decides touches (= intersects ∧ ¬II),
+    overlaps and areal equality for the join predicates without running the
+    per-pair relate kernel (``Operation/RelateNG/TopologyComputer.cs`` area
+    reasoning, batched).
+
+    Jordan evidence in whole-array passes (valid Simple-Features inputs):
+
+      A. any gb vertex strictly INTERIOR to other            (prepared PIP)
+      B. any gb ring-segment midpoint strictly interior      (prepared PIP)
+      C. any strict proper crossing, gb rings × other rings  (orientation)
+      D. any other probe (ring vertices, ring midpoints, and other's own
+         interior point) strictly inside a gb row    (parity & ¬on-segment)
+      E. residue: rows with no strict evidence probe their OWN interior
+         point against other — non-empty only when a row's boundary is
+         embedded in other's (equal / hole-filling pairs), mirroring the
+         ``batch_covers_rights`` residue.
+
+    Exact except for the measure-zero configuration where boundaries cross
+    transversally ONLY through shared vertices with every vertex/midpoint
+    probe landing exactly on the other boundary — the noded-midpoint case
+    of the scalar relate kernel (``kernels/relate.py``), which remains the
+    exact path via ``exact_relate=True``. The join workloads' snapped
+    rectangles and octagons never produce it (corners properly cross or a
+    midpoint lands interior); property-tested against the scalar kernel.
+    """
+    from .pip import INTERIOR
+    from .predicates import interior_point
+
+    pr = other if isinstance(other, PreparedRight) else PreparedRight(other)
+    n = len(lefts)
+    res = np.zeros(n, dtype=bool)
+    if n == 0 or pr.empty or not pr.preps:
+        return res
+    lefts = np.asarray(lefts, dtype=np.int64)
+
+    # ---- pass A: gb vertices strictly interior to other -----------------
+    vcnt = gb.v_start[lefts + 1] - gb.v_start[lefts]
+    vidx, vowner = _ranges_concat(gb.v_start[lefts], vcnt)
+    if len(vidx):
+        lvx = gb.vx[vidx]; lvy = gb.vy[vidx]
+        inter = np.zeros(len(vidx), dtype=bool)
+        for prep in pr.preps:
+            inter |= prep.locate(lvx, lvy) == INTERIOR
+        res[vowner[inter]] = True
+
+    # ---- pass B: gb ring midpoints strictly interior to other -----------
+    pend = ~res
+    if pend.any():
+        sub = np.flatnonzero(pend)
+        ls = lefts[sub]
+        pcnt = gb.p_start[ls + 1] - gb.p_start[ls]
+        pidx, powner = _ranges_concat(gb.p_start[ls], pcnt)
+        if len(pidx):
+            mx = (gb.pax[pidx] + gb.pbx[pidx]) * 0.5
+            my = (gb.pay[pidx] + gb.pby[pidx]) * 0.5
+            inter = np.zeros(len(pidx), dtype=bool)
+            for prep in pr.preps:
+                inter |= prep.locate(mx, my) == INTERIOR
+            res[sub[np.unique(powner[inter])]] = True
+
+    # ---- pass C: strict proper crossing, gb rings × other rings ---------
+    pend = ~res
+    if pend.any() and len(pr.pgax):
+        sub = np.flatnonzero(pend)
+        ls = lefts[sub]
+        pcnt = gb.p_start[ls + 1] - gb.p_start[ls]
+        pidx, powner = _ranges_concat(gb.p_start[ls], pcnt)
+        if len(pidx):
+            crossed = _proper_cross_per_seg(
+                gb.pax[pidx], gb.pay[pidx], gb.pbx[pidx], gb.pby[pidx],
+                pr.pgax, pr.pgay, pr.pgbx, pr.pgby,
+            )
+            res[sub[np.unique(powner[crossed])]] = True
+
+    # ---- pass D: other's probes strictly inside gb rows -----------------
+    # ring vertices + ring midpoints + other's interior point; a probe in
+    # int(other) strictly inside a row IS II, a boundary probe strictly
+    # inside a row implies int(other) reaches in locally (valid input)
+    pend = ~res
+    if pend.any():
+        sub = np.flatnonzero(pend)
+        probes = [np.stack([pr.rvx, pr.rvy], axis=1)] if len(pr.rvx) else []
+        if len(pr.pgax):
+            probes.append(np.stack([
+                (pr.pgax + pr.pgbx) * 0.5, (pr.pgay + pr.pgby) * 0.5,
+            ], axis=1))
+        ip = interior_point(pr.geom)
+        if ip is not None:
+            probes.append(np.array([[ip[0], ip[1]]]))
+        for qx, qy in (np.concatenate(probes) if probes else ()):
+            if not len(sub):
+                break
+            on_b, inside = _locate_probe_rows(gb, lefts[sub], float(qx), float(qy))
+            hit = inside & ~on_b
+            res[sub[hit]] = True
+            sub = sub[~hit]
+
+    # ---- pass E: per-row interior-point residue -------------------------
+    residue = np.flatnonzero(~res)
+    if len(residue) and geom_of is not None:
+        for k in residue:
+            g = geom_of(int(lefts[k]))
+            ip = interior_point(g) if g is not None else None
+            if ip is None:
+                continue
+            px = np.array([ip[0]]); py = np.array([ip[1]])
+            res[k] = any(
+                prep.locate(px, py)[0] == INTERIOR for prep in pr.preps
+            )
+    return res
 
 
 # ---------------------------------------------------------------------------

@@ -293,3 +293,126 @@ def test_batch_distance2_matches_facet_distance():
                 assert abs(np.sqrt(got[i]) - exp) < 1e-9 * max(1.0, exp), (trial, i)
             total += 1
     assert total > 700
+
+
+# ---------------------------------------------------------------------------
+# vectorized interior/interior (DE-9IM II) + the composed IM predicates
+# ---------------------------------------------------------------------------
+
+from nettopologysuite_spark.kernels.batchgeom import (  # noqa: E402
+    batch_interiors_intersect,
+)
+
+
+def _snapped_rect(rng):
+    """Integer-corner rect (extents 1-3 × 1-2): edge/corner contact —
+    touches — is common between pairs, mirroring the join workload."""
+    x1, y1 = rng.integers(0, 20, 2).astype(float)
+    return polygon([(x1, y1), (x1 + 1 + rng.integers(0, 3), y1),
+                    (x1 + 1 + rng.integers(0, 3), y1 + 1 + rng.integers(0, 2)),
+                    (x1, y1 + 1 + rng.integers(0, 2)), (x1, y1)])
+
+
+def _rand_poly(rng, trial):
+    k = (trial + rng.integers(0, 4)) % 4
+    if k == 0:
+        return _poly_with_hole(rng)
+    if k == 1:
+        return _snapped_rect(rng)
+    return _rand_geom(rng, 2 + k % 2)
+
+
+def test_batch_interiors_intersect_matches_relate_kernel():
+    """II(areal, areal) ⇔ intersects ∧ ¬touches (the relate kernel's own
+    definition of touches) over random holed / snapped / octagon pairs."""
+    rng = np.random.default_rng(61)
+    total = hits = 0
+    for trial in range(40):
+        lefts = [_rand_poly(rng, trial) for _ in range(30)]
+        right = _rand_poly(rng, trial)
+        gb = GeomBatch.from_wkb([wkb_dumps(g) for g in lefts])
+        got = batch_interiors_intersect(
+            gb, np.arange(len(lefts), dtype=np.int64), right,
+            geom_of=lambda k: lefts[k],
+        )
+        for i, g in enumerate(lefts):
+            exp = (evaluate_predicate("intersects", g, right)
+                   and not evaluate_predicate("touches", g, right))
+            assert bool(got[i]) == exp, (trial, i, g.wkt(), right.wkt())
+            total += 1
+            hits += bool(exp)
+    assert total > 1000 and hits > 50
+
+
+def test_batched_im_compositions_match_scalar_predicates():
+    """touches = intersects ∧ ¬II; overlaps = II ∧ ¬covers either way;
+    equalstopo = covers both ways — the compositions pair_refine_udf /
+    _batched_pair_eval run for pure-polygonal pairs, vs the scalar
+    relate kernel."""
+    rng = np.random.default_rng(67)
+    counts = {"touches": 0, "overlaps": 0, "equalstopo": 0}
+    for trial in range(30):
+        lefts = [_rand_poly(rng, trial) for _ in range(25)]
+        if trial % 5 == 0:
+            lefts += [lefts[0]]  # planted topological equal
+        right = lefts[0] if trial % 5 == 0 else _rand_poly(rng, trial)
+        if trial % 5 == 2:
+            # planted touch pairs: snapped right + edge/corner neighbours
+            x1, y1 = float(rng.integers(0, 20)), float(rng.integers(0, 20))
+            w, h = 1 + int(rng.integers(0, 3)), 1 + int(rng.integers(0, 2))
+            right = polygon([(x1, y1), (x1 + w, y1), (x1 + w, y1 + h),
+                             (x1, y1 + h), (x1, y1)])
+            lefts += [
+                polygon([(x1 + w, y1), (x1 + w + 2, y1), (x1 + w + 2, y1 + 1),
+                         (x1 + w, y1 + 1), (x1 + w, y1)]),          # edge
+                polygon([(x1 + w, y1 + h), (x1 + w + 1, y1 + h),
+                         (x1 + w + 1, y1 + h + 1), (x1 + w, y1 + h + 1),
+                         (x1 + w, y1 + h)]),                         # corner
+            ]
+        gb = GeomBatch.from_wkb([wkb_dumps(g) for g in lefts])
+        idx = np.arange(len(lefts), dtype=np.int64)
+        geom_of = lambda k: lefts[k]  # noqa: E731
+        inter = batch_intersects(gb, idx, right)
+        ii = batch_interiors_intersect(gb, idx, right, geom_of=geom_of)
+        cov_lr = batch_covers_right(gb, idx, right)      # left covers right
+        cov_rl = batch_covers_rights(gb, idx, right)     # right covers left
+        got = {
+            "touches": inter & ~ii,
+            "overlaps": ii & ~cov_lr & ~cov_rl,
+            "equalstopo": cov_lr & cov_rl,
+        }
+        for pred, vec in got.items():
+            for i, g in enumerate(lefts):
+                exp = evaluate_predicate(pred, g, right)
+                assert bool(vec[i]) == exp, (pred, trial, i, g.wkt(), right.wkt())
+                counts[pred] += bool(exp)
+    assert all(v > 5 for v in counts.values()), counts
+
+
+def test_batch_interiors_intersect_edge_cases():
+    a = polygon([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)])
+    cases = [
+        (polygon([(4, 0), (8, 0), (8, 4), (4, 4), (4, 0)]), False),   # edge touch
+        (polygon([(4, 4), (8, 4), (8, 8), (4, 8), (4, 4)]), False),   # corner touch
+        (polygon([(2, 2), (6, 2), (6, 6), (2, 6), (2, 2)]), True),    # overlap
+        (polygon([(1, 1), (3, 1), (3, 3), (1, 3), (1, 1)]), True),    # inside
+        (polygon([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]), True),    # equal
+        (polygon([(9, 9), (10, 9), (10, 10), (9, 10), (9, 9)]), False),  # disjoint
+        # hole-filling pair: b exactly fills a hole of a-with-hole below
+    ]
+    geoms = [g for g, _ in cases]
+    gb = GeomBatch.from_wkb([wkb_dumps(g) for g in geoms])
+    got = batch_interiors_intersect(
+        gb, np.arange(len(geoms), dtype=np.int64), a,
+        geom_of=lambda k: geoms[k])
+    assert list(got) == [e for _, e in cases]
+    # hole-filling: donut vs its exact hole — boundaries coincide, interiors
+    # disjoint (touches), the residue pass must NOT claim II
+    donut = polygon([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+                    [[(3, 3), (3, 7), (7, 7), (7, 3), (3, 3)]])
+    plug = polygon([(3, 3), (7, 3), (7, 7), (3, 7), (3, 3)])
+    gb2 = GeomBatch.from_wkb([wkb_dumps(plug)])
+    got2 = batch_interiors_intersect(gb2, np.array([0]), donut,
+                                     geom_of=lambda k: plug)
+    assert not bool(got2[0])
+    assert evaluate_predicate("touches", plug, donut)

@@ -120,3 +120,15 @@ def test_within_dist_join_geom_shape(spark, sf_dir):
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan[:800]
     assert plan.count("ArrowEvalPython") == 3
     assert "sequence(greatest(" in plan, plan[:800]
+
+
+def test_poly_poly_touches_shape(spark, sf_dir):
+    """Touches big×big join: same native candidate machinery, refine through
+    the batched DE-9IM composition (intersects ∧ ¬interior/interior) —
+    exactly 3 Python crossings (2 envelope UDFs + 1 vectorized refine),
+    zero per-pair Python on the pure-polygonal workload."""
+    df = E.q_poly_poly_touches(spark, sf_dir)
+    plan = _plan(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan[:800]
+    assert plan.count("ArrowEvalPython") == 3
+    assert "sequence(greatest(" in plan, plan[:800]

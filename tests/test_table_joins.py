@@ -315,3 +315,26 @@ def test_knn_join_geom_empty_sides(spark):
     out2 = knn_join_geom(qempty, some, grid, k=3, q_id="q", q_wkb="q_wkb",
                          d_id="pid", d_wkb="geom_wkb")
     assert out2.count() == 0
+
+
+def test_poly_poly_touches_matches_bruteforce(spark, sf_dir):
+    """Big×big TOUCHES join (batched DE-9IM composition) vs the per-pair
+    scalar relate kernel over the full cross product."""
+    import __spark_entry__ as E
+    from nettopologysuite_spark.engine.derive import nation_rect_geom
+    from nettopologysuite_spark.kernels.geom import wkb_loads
+    from nettopologysuite_spark.kernels.predicates import evaluate_predicate
+
+    got = {(r["pid"], r["poly_id"])
+           for r in E.q_poly_poly_touches(spark, sf_dir).collect()}
+    rects = E._event_rects_snapped(spark, sf_dir).collect()
+    nrects = {f"rect-{k}": nation_rect_geom(k)
+              for k in E._nation_keys(spark, sf_dir)}
+    expect = set()
+    for r in rects:
+        g = wkb_loads(bytes(r["geom_wkb"]))
+        for pid, ng in nrects.items():
+            if evaluate_predicate("touches", g, ng):
+                expect.add((r["pid"], pid))
+    assert got == expect
+    assert len(got) > 0
