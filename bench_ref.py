@@ -15,8 +15,8 @@ single-node against the corresponding kernels and records throughput:
 3. OverlayNG  — ``OverlayNGPerfTest.cs:26-38``: sine star A (origin
    (100,100), size 200, N_ARMS=6, ARM_RATIO=0.3) intersected with a 20×20
    grid of small sine stars (nptsB = npts/400, min 10), for npts in
-   RUN_SIZES. (The reference ladder reaches 200k pts; the exact-rational
-   overlay kernel here is run to 10k — sizes reported per rung.)
+   RUN_SIZES. (The reference ladder runs 100k-200k pts; the vectorized
+   candidate pass + exact-rational escalation runs the 100k rung here.)
 
 Prints ONE JSON line and writes BENCH/REF_WORKLOADS.md.
 
@@ -81,7 +81,7 @@ def strtree_workload(n: int = 100_000) -> dict:
     }
 
 
-RUN_SIZES = (100, 1000, 10_000)
+RUN_SIZES = (100, 1000, 10_000, 100_000)
 GRID_SIZE = 20
 NUM_CASES = GRID_SIZE * GRID_SIZE
 
@@ -141,7 +141,8 @@ def main():
             "## OverlayNG ladder (OverlayNGPerfTest.cs:26-38)\n\n"
             "Sine star A × 400-cell grid of sine stars (intersection, exact\n"
             "rational noding — the reference's floating+retry ladder rungs\n"
-            "100..200k; run here to 10k):\n\n"
+            "100..200k; the vectorized candidate pass with exact-rational\n"
+            "escalation runs the 100k rung here):\n\n"
             "| A pts | B pts | overlays/sec |\n|---|---|---|\n"
             + "\n".join(
                 f"| {r['npts_a']:,} | {r['npts_b']} | {r['overlays_per_sec']:,} |"

@@ -310,29 +310,38 @@ def _locate_exact_batch(xs: np.ndarray, ys: np.ndarray, rings) -> np.ndarray:
     out = np.full(nq, EXTERIOR, dtype=np.int64)
     step = max(1, _LOC_CHUNK // max(ns, 1))
     for s in range(0, nq, step):
-        qx = xs[s:s + step][:, None]
-        qy = ys[s:s + step][:, None]
-        detl = (x1[None, :] - qx) * (y2[None, :] - qy)
-        detr = (y1[None, :] - qy) * (x2[None, :] - qx)
+        qx = xs[s:s + step]
+        qy = ys[s:s + step]
+        m = len(qx)
+        # sparse candidate pairs: a segment contributes a crossing or a
+        # boundary hit ONLY if its y-interval contains qy (straddle and the
+        # bbox y-condition are both subsets) — the full orientation
+        # arithmetic runs on the stabbed pairs, not the dense matrix
+        ymask = (mny[None, :] <= qy[:, None]) & (qy[:, None] <= mxy[None, :])
+        qi, sj = np.nonzero(ymask)
+        if not len(qi):
+            out[s:s + step] = EXTERIOR
+            continue
+        qxp = qx[qi]; qyp = qy[qi]
+        X1 = x1[sj]; Y1 = y1[sj]; X2 = x2[sj]; Y2 = y2[sj]
+        detl = (X1 - qxp) * (Y2 - qyp)
+        detr = (Y1 - qyp) * (X2 - qxp)
         det = detl - detr
         detsum = np.abs(detl) + np.abs(detr)
         certain = (np.abs(det) > _CCW_ERR * detsum) | (detsum == 0.0)
-        bbox = (
-            (mnx[None, :] <= qx) & (qx <= mxx[None, :])
-            & (mny[None, :] <= qy) & (qy <= mxy[None, :])
-        )
-        straddle = (y1[None, :] > qy) != (y2[None, :] > qy)
         sign = np.sign(det).astype(np.int8)
+        bbox = (mnx[sj] <= qxp) & (qxp <= mxx[sj])  # y-part is the stab
+        straddle = (Y1 > qyp) != (Y2 > qyp)
         need = (~certain) & (bbox | straddle)
-        for i, j in zip(*np.nonzero(need)):
-            sign[i, j] = orient_index(
+        for k in np.flatnonzero(need):
+            j = sj[k]
+            sign[k] = orient_index(
                 float(x1[j]), float(y1[j]), float(x2[j]), float(y2[j]),
-                float(qx[i, 0]), float(qy[i, 0])
+                float(qxp[k]), float(qyp[k])
             )
-        boundary = (bbox & (sign == 0)).any(axis=1)
-        up = straddle & rising[None, :] & (sign > 0)
-        dn = straddle & ~rising[None, :] & (sign < 0)
-        crossings = (up | dn).sum(axis=1)
+        hit = straddle & np.where(rising[sj], sign > 0, sign < 0)
+        crossings = np.bincount(qi[hit], minlength=m)
+        boundary = np.bincount(qi[bbox & (sign == 0)], minlength=m) > 0
         chunk_out = np.where(crossings % 2 == 1, INTERIOR, EXTERIOR)
         chunk_out = np.where(boundary, BOUNDARY, chunk_out)
         out[s:s + step] = chunk_out
@@ -395,20 +404,23 @@ def _node_chains(inputs: list[tuple[int, _Input]]):
     # (MCIndexNoder analog: only envelope-overlapping segment pairs reach the
     # exact intersector; the pad covers the hot-pixel snap radius, which is
     # at most 1e-9 × the longest segment)
-    seg_chain: list[int] = []
-    seg_idx: list[int] = []
-    seg_p1: list[tuple] = []
-    seg_p2: list[tuple] = []
+    seg_parts_1: list[np.ndarray] = []
+    seg_parts_2: list[np.ndarray] = []
+    seg_ch_parts: list[np.ndarray] = []
+    seg_ix_parts: list[np.ndarray] = []
     for ci, (_side, _kind, pts) in enumerate(chains):
-        for i in range(len(pts) - 1):
-            seg_chain.append(ci)
-            seg_idx.append(i)
-            seg_p1.append((float(pts[i, 0]), float(pts[i, 1])))
-            seg_p2.append((float(pts[i + 1, 0]), float(pts[i + 1, 1])))
-    nseg = len(seg_p1)
+        npts_c = len(pts)
+        if npts_c >= 2:
+            seg_parts_1.append(np.asarray(pts[:-1], dtype=np.float64))
+            seg_parts_2.append(np.asarray(pts[1:], dtype=np.float64))
+            seg_ch_parts.append(np.full(npts_c - 1, ci, dtype=np.int64))
+            seg_ix_parts.append(np.arange(npts_c - 1, dtype=np.int64))
+    nseg = int(sum(len(p) for p in seg_parts_1))
     if nseg:
-        a1 = np.asarray(seg_p1)
-        a2 = np.asarray(seg_p2)
+        a1 = np.concatenate(seg_parts_1)
+        a2 = np.concatenate(seg_parts_2)
+        seg_chain = np.concatenate(seg_ch_parts)
+        seg_idx = np.concatenate(seg_ix_parts)
         minx = np.minimum(a1[:, 0], a2[:, 0])
         maxx = np.maximum(a1[:, 0], a2[:, 0])
         miny = np.minimum(a1[:, 1], a2[:, 1])
@@ -419,10 +431,12 @@ def _node_chains(inputs: list[tuple[int, _Input]]):
         sminx = minx[order]
 
         def process_pair(sa: int, sb: int):
-            ca, ia = seg_chain[sa], seg_idx[sa]
-            cb, ib = seg_chain[sb], seg_idx[sb]
-            p1, p2 = seg_p1[sa], seg_p2[sa]
-            q1, q2 = seg_p1[sb], seg_p2[sb]
+            ca, ia = int(seg_chain[sa]), int(seg_idx[sa])
+            cb, ib = int(seg_chain[sb]), int(seg_idx[sb])
+            p1 = (float(a1[sa, 0]), float(a1[sa, 1]))
+            p2 = (float(a2[sa, 0]), float(a2[sa, 1]))
+            q1 = (float(a1[sb, 0]), float(a1[sb, 1]))
+            q2 = (float(a2[sb, 0]), float(a2[sb, 1]))
             if ca == cb:
                 # self-noding: only 'line' chains; adjacent segments (and the
                 # closing pair of a closed chain) check COLLINEAR fold-backs
@@ -474,15 +488,117 @@ def _node_chains(inputs: list[tuple[int, _Input]]):
             snap_vertex_to_segment(cb, ib, q1, q2, p1)
             snap_vertex_to_segment(cb, ib, q1, q2, p2)
 
-        for pos in range(nseg):
-            k = int(order[pos])
-            hi = int(np.searchsorted(sminx, maxx[k] + pad, side="right"))
-            if hi <= pos + 1:
-                continue
-            cand = order[pos + 1 : hi]
-            sel = (miny[cand] <= maxy[k] + pad) & (maxy[cand] >= miny[k] - pad)
-            for m in cand[sel]:
-                process_pair(k, int(m))
+        # Vectorized candidate pass (the noding hot loop): pair generation
+        # and certain-reject orientation filtering run whole-array in
+        # float64 with the SAME error bound the exact `orient_index` filter
+        # trusts (_CCW_ERR) — a pair is dropped only when both endpoint
+        # orientations are sign-certain and strictly separating AND no
+        # hot-pixel snap can trigger. Everything else (actual crossings,
+        # collinear overlaps, sign-uncertain near-degenerate pairs,
+        # snap-range pairs, adjacent self-noding fold-backs) escalates to
+        # the scalar exact-rational `process_pair` — the filter changes
+        # which pairs reach it, never what it computes.
+        from .orientation import _CCW_ERR
+
+        ch_arr = np.asarray(seg_chain, dtype=np.int64)
+        si_arr = np.asarray(seg_idx, dtype=np.int64)
+        nch = len(chains)
+        chain_line = np.zeros(nch, dtype=bool)
+        chain_nseg = np.zeros(nch, dtype=np.int64)
+        chain_closed = np.zeros(nch, dtype=bool)
+        for ci, (_cs, ckind, cpts) in enumerate(chains):
+            chain_line[ci] = ckind == "line"
+            chain_nseg[ci] = len(cpts) - 1
+            chain_closed[ci] = bool((cpts[0] == cpts[-1]).all())
+        sx1 = a1[:, 0]; sy1 = a1[:, 1]
+        sx2 = a2[:, 0]; sy2 = a2[:, 1]
+
+        def _orient_batch(ax, ay, bx, by, cx, cy):
+            detleft = (ax - cx) * (by - cy)
+            detright = (ay - cy) * (bx - cx)
+            det = detleft - detright
+            detsum = np.abs(detleft) + np.abs(detright)
+            certain = (np.abs(det) > _CCW_ERR * detsum) | (detsum == 0.0)
+            return det, certain
+
+        def _snap_possible(px1, py1, px2, py2, qx, qy):
+            # mirrors snap_vertex_to_segment's float64 arithmetic exactly
+            dx = px2 - px1; dy = py2 - py1
+            ll = dx * dx + dy * dy
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = ((qx - px1) * dx + (qy - py1) * dy) / ll
+                cxp = dx * (qy - py1) - dy * (qx - px1)
+                hit = (ll > 0.0) & (t > 0.0) & (t < 1.0) \
+                    & (cxp * cxp <= _SNAP_EPS2 * ll)
+            return hit & np.isfinite(t)
+
+        def _process_block(sa: np.ndarray, sb: np.ndarray):
+            ca = ch_arr[sa]; cb = ch_arr[sb]
+            same = ca == cb
+            # same-chain pairs of non-line chains never node (scalar early
+            # return); drop them before any arithmetic
+            live = ~(same & ~chain_line[ca])
+            sa = sa[live]; sb = sb[live]
+            if not len(sa):
+                return
+            ca = ch_arr[sa]; cb = ch_arr[sb]
+            same = ca == cb
+            ia = si_arr[sa]; ib = si_arr[sb]
+            closing = same & chain_closed[ca] & (np.minimum(ia, ib) == 0) \
+                & (np.maximum(ia, ib) == chain_nseg[ca] - 1)
+            adj = same & ((np.abs(ia - ib) <= 1) | closing)
+            p1x = sx1[sa]; p1y = sy1[sa]; p2x = sx2[sa]; p2y = sy2[sa]
+            q1x = sx1[sb]; q1y = sy1[sb]; q2x = sx2[sb]; q2y = sy2[sb]
+            d1, c1 = _orient_batch(q1x, q1y, q2x, q2y, p1x, p1y)
+            d2, c2 = _orient_batch(q1x, q1y, q2x, q2y, p2x, p2y)
+            rej = c1 & c2 & (((d1 > 0) & (d2 > 0)) | ((d1 < 0) & (d2 < 0)))
+            nd = ~rej
+            if nd.any():
+                d3, c3 = _orient_batch(p1x[nd], p1y[nd], p2x[nd], p2y[nd],
+                                       q1x[nd], q1y[nd])
+                d4, c4 = _orient_batch(p1x[nd], p1y[nd], p2x[nd], p2y[nd],
+                                       q2x[nd], q2y[nd])
+                rej2 = c3 & c4 & (((d3 > 0) & (d4 > 0)) | ((d3 < 0) & (d4 < 0)))
+                rej[np.flatnonzero(nd)[rej2]] = True
+            # cross-chain rejected pairs may still hot-pixel snap
+            resc = rej & ~same
+            if resc.any():
+                ri = np.flatnonzero(resc)
+                snap = _snap_possible(p1x[ri], p1y[ri], p2x[ri], p2y[ri],
+                                      q1x[ri], q1y[ri])
+                snap |= _snap_possible(p1x[ri], p1y[ri], p2x[ri], p2y[ri],
+                                       q2x[ri], q2y[ri])
+                snap |= _snap_possible(q1x[ri], q1y[ri], q2x[ri], q2y[ri],
+                                       p1x[ri], p1y[ri])
+                snap |= _snap_possible(q1x[ri], q1y[ri], q2x[ri], q2y[ri],
+                                       p2x[ri], p2y[ri])
+                rej[ri[snap]] = False
+            keep = adj | ~rej
+            for u, v in zip(sa[keep], sb[keep]):
+                process_pair(int(u), int(v))
+
+        pos_arr = np.arange(nseg, dtype=np.int64)
+        his = np.searchsorted(sminx, maxx[order] + pad, side="right")
+        starts = pos_arr + 1
+        cnt = np.maximum(his - starts, 0)
+        csum = np.cumsum(cnt)
+        bs = 0
+        _BLOCK = 4_000_000  # pairs per block: bounds peak memory
+        while bs < nseg:
+            prev = csum[bs - 1] if bs else 0
+            be = int(np.searchsorted(csum, prev + _BLOCK, side="left")) + 1
+            be = min(max(be, bs + 1), nseg)
+            bcnt = cnt[bs:be]
+            btot = int(bcnt.sum())
+            if btot:
+                rep = np.repeat(np.arange(bs, be, dtype=np.int64), bcnt)
+                offs = (np.arange(btot, dtype=np.int64)
+                        - np.repeat(csum[bs:be] - bcnt - prev, bcnt)
+                        + np.repeat(starts[bs:be], bcnt))
+                sa = order[rep]; sb = order[offs]
+                ysel = (miny[sb] <= maxy[sa] + pad) & (maxy[sb] >= miny[sa] - pad)
+                _process_block(sa[ysel], sb[ysel])
+            bs = be
     # -- cluster near-coincident computed nodes -----------------------------
     # The same geometric crossing reached via two different segment pairs can
     # round to doubles a few ulp apart, leaving dangling edge endpoints that
@@ -492,8 +608,7 @@ def _node_chains(inputs: list[tuple[int, _Input]]):
     # below any legitimate feature size in the corpus).
     originals: set = set()
     for _side, _kind, pts in chains:
-        for v in pts:
-            originals.add((float(v[0]), float(v[1])))
+        originals.update(map(tuple, np.asarray(pts, dtype=np.float64).tolist()))
     computed: set = set()
     for sp in splits:
         for cuts in sp.values():
@@ -535,15 +650,27 @@ def _node_chains(inputs: list[tuple[int, _Input]]):
 
     edges = []  # (u, v, side, kind, chain_id)
     for ci, (side, kind, pts) in enumerate(chains):
-        p_first = (float(pts[0, 0]), float(pts[0, 1]))
-        p_last = (float(pts[-1, 0]), float(pts[-1, 1]))
-        node_points.add(p_first)
-        node_points.add(p_last)
-        for i in range(len(pts) - 1):
-            p1 = (float(pts[i, 0]), float(pts[i, 1]))
-            p2 = (float(pts[i + 1, 0]), float(pts[i + 1, 1]))
-            cuts = sorted(splits[ci].get(i, ()))
-            verts = [p1] + [canon(pt) for _, pt in cuts] + [p2]
+        ptt = list(map(tuple, np.asarray(pts, dtype=np.float64).tolist()))
+        node_points.add(ptt[0])
+        node_points.add(ptt[-1])
+        sp = splits[ci]
+        if not sp:
+            # fast path (the overwhelming majority of chains): no splits —
+            # emit per-segment edges straight off the vertex tuples
+            edges.extend(
+                (ptt[i], ptt[i + 1], side, kind, ci)
+                for i in range(len(ptt) - 1) if ptt[i] != ptt[i + 1]
+            )
+            continue
+        for i in range(len(ptt) - 1):
+            p1 = ptt[i]
+            p2 = ptt[i + 1]
+            cuts = sp.get(i)
+            if not cuts:
+                if p1 != p2:
+                    edges.append((p1, p2, side, kind, ci))
+                continue
+            verts = [p1] + [canon(pt) for _, pt in sorted(cuts)] + [p2]
             for k in range(len(verts) - 1):
                 if verts[k] != verts[k + 1]:
                     edges.append((verts[k], verts[k + 1], side, kind, ci))
