@@ -15,8 +15,17 @@ All hot paths are native Spark expressions (JVM, whole-stage codegen):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+#: metrics of the last `minhash_lsh_pairs` run (populated post-materialize):
+#: {"dropped_buckets": int, "max_bucket_size": int} — the ops/test hook for
+#: the hot-bucket cap.
+last_lsh_metrics: dict = {}
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -202,7 +211,7 @@ def minhash_lsh_pairs(
     threshold_pct: int = 80,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash over word-bigram shingles + banded
     LSH, verified exactly.
@@ -272,8 +281,21 @@ def minhash_lsh_pairs(
     bl = buckets.groupBy("band", "sig").agg(
         F.sort_array(F.collect_list("_id")).alias("ids")
     ).where(F.size("ids") > 1)
+    obs: Observation | None = None
     if max_bucket is not None:
-        bl = bl.where(F.size("ids") <= max_bucket)
+        # hot-bucket cap ON by default (a near-identical shard family at
+        # 100 TB otherwise buffers one giant id list — and a quadratic pair
+        # explode — in a single task). Dropped buckets are counted by a
+        # zero-extra-action `observe` on the executed plan and surfaced via
+        # `last_lsh_metrics` + a warning log; a dropped bucket is a
+        # duplicate CLIQUE larger than the cap, already re-discoverable
+        # from its members' other bands.
+        obs = Observation()
+        bl = bl.observe(
+            obs,
+            F.count(F.when(F.size("ids") > max_bucket, 1)).alias("dropped_buckets"),
+            F.coalesce(F.max(F.size("ids")), F.lit(0)).alias("max_bucket_size"),
+        ).where(F.size("ids") <= max_bucket)
     cand = (
         bl.select(
             F.explode(
@@ -289,6 +311,18 @@ def minhash_lsh_pairs(
     )
     verified = _jaccard_counts(grams, cand, method="sets")  # materializes, then releases caches
     grams.unpersist()
+    if obs is not None:
+        # _jaccard_counts already executed the candidate pipeline, so the
+        # observed metrics are final — no extra job
+        m = dict(obs.get)
+        last_lsh_metrics.clear()
+        last_lsh_metrics.update(m)
+        if m.get("dropped_buckets"):
+            log.warning(
+                "minhash_lsh: dropped %s bucket(s) over max_bucket=%s "
+                "(largest bucket: %s ids)",
+                m["dropped_buckets"], max_bucket, m["max_bucket_size"],
+            )
     return verified.where(F.col("ni") * 100 >= F.col("nu") * threshold_pct)
 
 

@@ -269,3 +269,37 @@ def test_decontaminate_semantics(spark):
     assert got[2] == (3, 0, False)
     # doc 3: whole-text gram "hi" appears in bench → fully contaminated
     assert got[3] == (1, 1, True)
+
+
+def test_minhash_hot_bucket_cap_counts_drops(spark):
+    """A planted mega-clique (identical docs) overflows every one of its
+    LSH buckets: with a small cap its buckets are dropped, the drop count
+    surfaces through the zero-extra-action observe metrics, and pairs among
+    ordinary docs are untouched."""
+    from nettopologysuite_spark.engine import dedup
+    from nettopologysuite_spark.engine.dedup import minhash_lsh_pairs
+
+    mega = [(f"m-{i:03d}", "the quick brown fox jumps over the lazy dog again")
+            for i in range(40)]
+    near = [
+        ("n-1", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("n-2", "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    other = [(f"o-{i}", f"completely unrelated text number {i} with words {i*7}")
+             for i in range(10)]
+    docs = spark.createDataFrame(mega + near + other, "doc_id string, text string")
+
+    capped = {(r["d1"], r["d2"])
+              for r in minhash_lsh_pairs(docs, threshold_pct=60, max_bucket=10).collect()}
+    m = dict(dedup.last_lsh_metrics)
+    assert m["dropped_buckets"] > 0
+    assert m["max_bucket_size"] == 40
+    assert ("n-1", "n-2") in capped          # ordinary near-dups survive
+    assert not any(a.startswith("m-") for a, _ in capped)  # clique dropped
+
+    uncapped = {(r["d1"], r["d2"])
+                for r in minhash_lsh_pairs(docs, threshold_pct=60,
+                                           max_bucket=None).collect()}
+    assert dict(dedup.last_lsh_metrics) == m  # None leaves metrics untouched
+    # capped output == uncapped minus the mega-clique's pairs
+    assert uncapped - capped == {(a, b) for a, _ in mega for b, _ in mega if a < b}
