@@ -365,8 +365,54 @@ def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = 60,
     return votes.select(F.col("_id").alias(id_col), fp.alias("simhash"))
 
 
+def _cc_star(edges: DataFrame, max_iters: int = 40) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (the MapReduce CC dataflow of Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — O(log n) rounds on ANY graph shape, including
+    the long-path components min-label propagation needs O(diameter) for.
+
+    Per round over the symmetrized adjacency: m(u) = min(Γ(u) ∪ {u});
+    large-star rewires every GREATER neighbour v > u to m(u); small-star
+    rewires every v ≤ u (and u itself) to m(u). Each half-round is one
+    groupBy-min + one equi-join — two shuffles, no driver-side data.
+    Converged when a full cycle leaves the edge set unchanged (exact
+    except/isEmpty check, same per-round scalar cost as the label variant).
+
+    ``edges``: symmetric, distinct, self-loop-free (a, b) pairs.
+    Returns (node, label) with label = component minimum.
+    """
+    E = edges.filter(F.col("a") != F.col("b")).localCheckpoint(eager=True)
+    all_nodes = edges.select(F.col("a").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+
+    def half_round(cur: DataFrame, large: bool) -> DataFrame:
+        sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = sym.groupBy("a").agg(F.min("b").alias("_mn")) \
+            .select("a", F.least(F.col("a"), F.col("_mn")).alias("_m"))
+        sel = sym.filter(F.col("b") > F.col("a")) if large \
+            else sym.filter(F.col("b") <= F.col("a"))
+        out = sel.join(m, "a").select(F.col("b").alias("a"), F.col("_m").alias("b"))
+        if not large:
+            out = out.union(m.select("a", F.col("_m").alias("b")))
+        return out.filter(F.col("a") != F.col("b")).distinct() \
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+
+    for _ in range(max_iters):
+        new = half_round(half_round(E, large=True), large=False)
+        stable = new.exceptAll(E).isEmpty() and E.exceptAll(new).isEmpty()
+        E = new
+        if stable:
+            break
+    star = E.groupBy("a").agg(F.min("b").alias("label")) \
+        .withColumnRenamed("a", "node")
+    return all_nodes.join(star, "node", "left").select(
+        "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+    )
+
+
 def dup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
-                 max_iters: int = 25) -> DataFrame:
+                 max_iters: int = 25, method: str = "auto",
+                 star_after: int = 4) -> DataFrame:
     """Connected components over a near-duplicate pair graph →
     (doc_id, cluster_id) with cluster_id = min doc id in the component —
     the canonical-representative step every dedup sweep ends with (keep one
@@ -377,18 +423,30 @@ def dup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     O(component diameter) rounds — near-dup components are overwhelmingly
     small cliques (diameter ≤ 2), so 2-3 rounds in practice, each ONE
     shuffle (join + groupBy min). Driver coordination is a single isEmpty
-    scalar per round. At 100 TB this is the standard alternating
-    large-star/small-star dataflow's simple cousin; swap in that
-    two-phase variant if components with large diameters appear.
+    scalar per round.
+
+    ``method``: "label" forces propagation, "star" forces the alternating
+    large-star/small-star dataflow (O(log n) rounds regardless of
+    diameter, see :func:`_cc_star`), "auto" (default) starts with
+    propagation and switches to star rounds if ``star_after`` rounds pass
+    without converging — the high-diameter escape hatch a pathological
+    chain-shaped component needs at 100 TB.
     """
     e = pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
         .distinct().persist()
+    if method == "star":
+        out = _cc_star(edges).select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        edges.unpersist()
+        return out
     labels = (
         edges.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -415,8 +473,17 @@ def dup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
         )
         stable = changed.isEmpty()
         labels = new
+        rounds += 1
         if stable:
             break
+        if method == "auto" and rounds >= star_after:
+            # still moving after star_after rounds → a high-diameter
+            # component; the star dataflow finishes in O(log n) rounds
+            out = _cc_star(edges).select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+            edges.unpersist()
+            return out
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))

@@ -303,3 +303,42 @@ def test_minhash_hot_bucket_cap_counts_drops(spark):
     assert dict(dedup.last_lsh_metrics) == m  # None leaves metrics untouched
     # capped output == uncapped minus the mega-clique's pairs
     assert uncapped - capped == {(a, b) for a, _ in mega for b, _ in mega if a < b}
+
+
+def test_cc_star_path_graph_matches_label_propagation(spark):
+    """10k-node PATH graph (diameter 10k): the alternating large-star /
+    small-star dataflow converges within its O(log n) round budget — label
+    propagation would need O(diameter) rounds — and produces the same
+    clustering as the label method does on a graph it CAN finish."""
+    from nettopologysuite_spark.engine.dedup import dup_clusters
+
+    n = 10_000
+    path = [(f"n-{i:05d}", f"n-{i+1:05d}") for i in range(n - 1)]
+    pairs = spark.createDataFrame(path, "d1 string, d2 string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_clusters(pairs, method="star").collect()}
+    assert len(got) == n
+    assert set(got.values()) == {"n-00000"}
+
+    # star == label on a mixed small graph (cliques + a short chain)
+    mixed = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+             ("b1", "b2"), ("c1", "c2"), ("c2", "c3"), ("c3", "c4")]
+    mp = spark.createDataFrame(mixed, "d1 string, d2 string")
+    lab = {(r["doc_id"], r["cluster_id"])
+           for r in dup_clusters(mp, method="label").collect()}
+    star = {(r["doc_id"], r["cluster_id"])
+            for r in dup_clusters(mp, method="star").collect()}
+    assert lab == star and ("c4", "c1") in star
+
+
+def test_dup_clusters_auto_switches_on_high_diameter(spark):
+    """method='auto' on a long chain must yield the exact same clustering
+    (the switch to star rounds is invisible in the output)."""
+    from nettopologysuite_spark.engine.dedup import dup_clusters
+
+    n = 64
+    path = [(f"p-{i:03d}", f"p-{i+1:03d}") for i in range(n - 1)]
+    pairs = spark.createDataFrame(path, "d1 string, d2 string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_clusters(pairs, method="auto", star_after=3).collect()}
+    assert len(got) == n and set(got.values()) == {"p-000"}
