@@ -1301,9 +1301,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "media_dedup": (
+            # perceptual fingerprint = dhash|WxH|round(mean_blue). On the
+            # gradient corpus the dHash is provably 0 for every image
+            # (channel-sum luminance strictly increases with column, so no
+            # left>right bit ever fires) and mean_blue = seed exactly —
+            # the fingerprint partition is (width, height, seed)
+            "WITH m AS (SELECT doc_id, "
+            "md5(printf('media://%s/%d', source, doc_id)) AS hh FROM documents), "
+            "p AS (SELECT doc_id, "
+            "CAST(16 + CAST('0x' || substr(hh, 1, 6) AS BIGINT) % 200 AS INT) AS width, "
+            "CAST(16 + CAST('0x' || substr(hh, 7, 6) AS BIGINT) % 200 AS INT) AS height, "
+            "CAST('0x' || substr(hh, 13, 2) AS BIGINT) AS seed FROM m) "
             "SELECT MIN(printf('doc-%012d', doc_id)) AS keep_id, "
-            "COUNT(*) AS n_dups FROM documents "
-            "GROUP BY md5(lower(trim(printf('media://%s/%d', source, doc_id))))"
+            "COUNT(*) AS n_dups FROM p GROUP BY width, height, seed"
         ),
         "media_features": (
             # closed-form features of the deterministic gradient image

@@ -118,3 +118,71 @@ def test_video_container_sampling_skips_frames():
         assert np.array_equal(decode_ppm(fb), frames[f])
     # stride=1 returns all frames in order
     assert [f for f, _ in iter_video_frames(blob, stride=1)] == [0, 1, 2, 3, 4]
+
+
+def test_perceptual_fp_reencode_and_perturb():
+    """dHash over REAL decoded pixels: the same image re-encoded PPM↔BMP
+    fingerprints identically; a content perturbation with identical dims
+    and blue channel separates SOLELY through the dHash bits."""
+    import numpy as np
+
+    from nettopologysuite_spark.engine.media import (
+        _test_image,
+        dhash64,
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        perceptual_fp,
+    )
+
+    img = _test_image(40, 30, seed=77)
+    fp_ppm = perceptual_fp(encode_ppm(img))
+    fp_bmp = perceptual_fp(encode_bmp(img))
+    assert fp_ppm == fp_bmp                       # encoding-invariant
+    assert fp_ppm.endswith("|40x30|77")
+
+    # perturb: blast a bright block into R on the left half of the top
+    # rows — creates left>right luminance transitions; B untouched
+    pert = img.copy()
+    pert[:15, :20, 0] = 255
+    fp_pert = perceptual_fp(encode_ppm(pert))
+    assert fp_pert != fp_ppm
+    assert fp_pert.endswith("|40x30|77")          # dims + mean_b identical
+    assert dhash64(pert) != 0 and dhash64(img) == 0
+    # dhash is computed from decoded pixels, not the blob container
+    assert dhash64(decode_ppm(encode_ppm(pert))) == dhash64(decode_bmp(encode_bmp(pert)))
+
+
+def test_media_dedup_perceptual_groups(spark):
+    """Docs whose first media refs decode to the same pixels dedup into one
+    group through the REAL decode → dhash path."""
+    from nettopologysuite_spark.engine.media import _ref_params, media_dedup
+
+    # find two refs with equal derived (w, h, seed) → identical pixels
+    # (format may differ: the fingerprint must not care)
+    seen: dict = {}
+    pair = None
+    i = 0
+    while pair is None:
+        ref = f"media://host/{i}"
+        fmt, w, h, seed = _ref_params(ref)
+        key = (w, h, seed)
+        if key in seen:
+            pair = (seen[key], i, key)
+        else:
+            seen[key] = i
+        i += 1
+    a, b, _ = pair
+    rows = [
+        (f"doc-{j:012d}", [{"kind": "media", "media_ref": f"media://host/{j}",
+                            "text": None}])
+        for j in (a, b)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind string, media_ref string, text string>>",
+    )
+    got = media_dedup(docs).collect()
+    assert len(got) == 1 and got[0]["n_dups"] == 2
+    assert got[0]["keep_id"] == f"doc-{min(a, b):012d}"
