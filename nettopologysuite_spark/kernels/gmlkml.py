@@ -113,6 +113,43 @@ _MEMBER_TAGS = {
 }
 
 
+def _parse_polygon_body(el: ET.Element) -> Geom:
+    """Ring payload shared by gml:Polygon and the GML3 gml:PolygonPatch
+    (identical exterior/interior grammar, GMLReader.cs ReadPolygon
+    383-413)."""
+    shell = None
+    holes = []
+    shell_z = None
+    hole_zs = []
+    for ch in el:
+        cname = _local(ch.tag)
+        ring = ring_z = None
+        for ring_el in ch:
+            if _local(ring_el.tag) == "LinearRing":
+                ring, ring_z = _child_coords(ring_el)
+        if ring is None:
+            continue
+        if cname in ("outerBoundaryIs", "exterior"):
+            shell, shell_z = ring, ring_z
+        elif cname in ("innerBoundaryIs", "interior"):
+            holes.append(ring)
+            hole_zs.append(ring_z)
+    if shell is None or len(shell) == 0:
+        return Geom(POLYGON, rings=[])
+    g = polygon(shell, holes)
+    all_z = [shell_z] + hole_zs
+    if any(z is not None for z in all_z):
+        # rings the polygon() helper may have auto-closed get their z
+        # closed the same way
+        fixed = []
+        for r, z in zip(g.rings, all_z):
+            if z is not None and len(z) == len(r) - 1:
+                z = np.concatenate([z, z[:1]])
+            fixed.append(z)
+        g.ring_zs = fixed
+    return g
+
+
 def _parse_element(el: ET.Element, kml: bool = False) -> Geom:
     name = _local(el.tag)
     if name == "Point":
@@ -120,43 +157,66 @@ def _parse_element(el: ET.Element, kml: bool = False) -> Geom:
         if len(c) == 0:
             return Geom(POINT, coords=np.empty((0, 2)))
         return Geom(POINT, coords=c[:1].copy(), zs=z[:1].copy() if z is not None else None)
-    if name in ("LineString", "LinearRing"):
+    if name in ("LineString", "LinearRing", "LineStringSegment"):
         c, z = _child_coords(el)
         g = linestring(c)
         g.zs = z
         return g
-    if name == "Polygon":
-        shell = None
-        holes = []
-        shell_z = None
-        hole_zs = []
+    if name == "Curve":
+        # GML3 single-curve container: Curve/segments/LineStringSegment+.
+        # The reference's forward-scanning XmlReader accepts this form
+        # inside curveMember (IO/GML2/GMLReader.cs:305-355 scans ahead to
+        # the first pos/posList); here every linear segment is read and
+        # concatenated per the GML 3 rule that consecutive segments share
+        # their boundary point (the shared point is emitted once).
+        segs = []
         for ch in el:
-            cname = _local(ch.tag)
-            ring = ring_z = None
-            for ring_el in ch:
-                if _local(ring_el.tag) == "LinearRing":
-                    ring, ring_z = _child_coords(ring_el)
-            if ring is None:
+            if _local(ch.tag) != "segments":
                 continue
-            if cname in ("outerBoundaryIs", "exterior"):
-                shell, shell_z = ring, ring_z
-            elif cname in ("innerBoundaryIs", "interior"):
-                holes.append(ring)
-                hole_zs.append(ring_z)
-        if shell is None or len(shell) == 0:
-            return Geom(POLYGON, rings=[])
-        g = polygon(shell, holes)
-        all_z = [shell_z] + hole_zs
-        if any(z is not None for z in all_z):
-            # rings the polygon() helper may have auto-closed get their z
-            # closed the same way
-            fixed = []
-            for r, z in zip(g.rings, all_z):
-                if z is not None and len(z) == len(r) - 1:
-                    z = np.concatenate([z, z[:1]])
-                fixed.append(z)
-            g.ring_zs = fixed
+            for seg in ch:
+                if _local(seg.tag) in ("LineStringSegment", "LineString"):
+                    segs.append(_child_coords(seg))
+                else:
+                    raise ValueError(
+                        f"unsupported Curve segment <{_local(seg.tag)}> "
+                        "(only linear LineStringSegment interpolation)"
+                    )
+        if not segs:
+            return Geom(LINESTRING, coords=np.empty((0, 2)))
+        xs, zs = [segs[0][0]], [segs[0][1]]
+        for c, z in segs[1:]:
+            drop = len(c) > 0 and len(xs[-1]) > 0 and np.array_equal(c[0], xs[-1][-1])
+            xs.append(c[1:] if drop else c)
+            zs.append((z[1:] if z is not None else None) if drop else z)
+        g = linestring(np.concatenate(xs))
+        if all(z is not None for z in zs):
+            g.zs = np.concatenate(zs)
         return g
+    if name in ("Polygon", "PolygonPatch"):
+        return _parse_polygon_body(el)
+    if name == "Surface":
+        # GML3 single-surface container: Surface/patches/PolygonPatch. A
+        # one-patch surface IS a polygon; multi-patch surfaces have no
+        # reference analog (GMLReader's forward scan would silently read
+        # the first patch — an error is safer than silent truncation).
+        patches = []
+        for ch in el:
+            if _local(ch.tag) in ("patches", "polygonPatches"):
+                for p in ch:
+                    if _local(p.tag) != "PolygonPatch":
+                        raise ValueError(
+                            f"unsupported Surface patch <{_local(p.tag)}> "
+                            "(only planar PolygonPatch)"
+                        )
+                    patches.append(_parse_polygon_body(p))
+        if not patches:
+            return Geom(POLYGON, rings=[])
+        if len(patches) > 1:
+            raise ValueError(
+                f"multi-patch gml:Surface ({len(patches)} PolygonPatch) has "
+                "no single-polygon representation; use gml:MultiSurface"
+            )
+        return patches[0]
     multi_types = {
         "MultiPoint": MULTIPOINT,
         "MultiLineString": MULTILINESTRING,
@@ -173,9 +233,10 @@ def _parse_element(el: ET.Element, kml: bool = False) -> Geom:
                 for sub in ch:
                     parts.append(_parse_element(sub, kml))
             elif _local(ch.tag) in (
-                "Point", "LineString", "Polygon", "MultiGeometry",
-                "MultiPoint", "MultiLineString", "MultiCurve",
-                "MultiPolygon", "MultiSurface", "GeometryCollection",
+                "Point", "LineString", "Polygon", "Curve", "Surface",
+                "MultiGeometry", "MultiPoint", "MultiLineString",
+                "MultiCurve", "MultiPolygon", "MultiSurface",
+                "GeometryCollection",
             ):
                 # KML MultiGeometry — and the reference's GML test data —
                 # nest children directly, without member tags

@@ -304,3 +304,86 @@ def test_z_passthrough_roundtrips():
     a = wkb_loads(wkb_dumps(pg))
     b = Geom(POLYGON, rings=[ring + 1.0])
     assert intersects(a, b) == intersects(Geom(POLYGON, rings=[ring]), b)
+
+
+def test_gml3_curve_segments_container():
+    """GML3 Curve/segments/LineStringSegment reads as a LineString; multiple
+    contiguous segments concatenate with the shared boundary point emitted
+    once (the reference's forward-scanning reader accepts this form inside
+    curveMember, GMLReader.cs:305-355)."""
+    one = """<gml:Curve xmlns:gml="http://www.opengis.net/gml">
+      <gml:segments><gml:LineStringSegment>
+        <gml:posList>0 0 5 5 10 0</gml:posList>
+      </gml:LineStringSegment></gml:segments></gml:Curve>"""
+    g = gml_loads(one)
+    assert wkt_dumps(g) == "LINESTRING (0 0, 5 5, 10 0)"
+
+    two = """<gml:Curve xmlns:gml="http://www.opengis.net/gml">
+      <gml:segments>
+        <gml:LineStringSegment><gml:posList>0 0 5 5</gml:posList></gml:LineStringSegment>
+        <gml:LineStringSegment><gml:posList>5 5 10 0</gml:posList></gml:LineStringSegment>
+      </gml:segments></gml:Curve>"""
+    assert wkt_dumps(gml_loads(two)) == "LINESTRING (0 0, 5 5, 10 0)"
+
+    # Z ordinates pass through segment concatenation
+    zz = """<gml:Curve xmlns:gml="http://www.opengis.net/gml">
+      <gml:segments>
+        <gml:LineStringSegment><gml:posList srsDimension="3">0 0 1 5 5 2</gml:posList></gml:LineStringSegment>
+        <gml:LineStringSegment><gml:posList srsDimension="3">5 5 2 10 0 3</gml:posList></gml:LineStringSegment>
+      </gml:segments></gml:Curve>"""
+    gz = gml_loads(zz)
+    assert list(gz.zs) == [1.0, 2.0, 3.0]
+
+    # non-linear interpolation is rejected, not silently linearized
+    arc = """<gml:Curve xmlns:gml="http://www.opengis.net/gml">
+      <gml:segments><gml:Arc>
+        <gml:posList>0 0 1 1 2 0</gml:posList>
+      </gml:Arc></gml:segments></gml:Curve>"""
+    with pytest.raises(ValueError, match="Arc"):
+        gml_loads(arc)
+
+
+def test_gml3_surface_patch_container():
+    """GML3 Surface/patches/PolygonPatch reads as a Polygon (exterior +
+    interior grammar identical to gml:Polygon); curveMember/surfaceMember
+    bodies accept the containers too."""
+    srf = """<gml:Surface xmlns:gml="http://www.opengis.net/gml">
+      <gml:patches><gml:PolygonPatch>
+        <gml:exterior><gml:LinearRing>
+          <gml:posList>0 0 10 0 10 10 0 10 0 0</gml:posList>
+        </gml:LinearRing></gml:exterior>
+        <gml:interior><gml:LinearRing>
+          <gml:posList>2 2 4 2 4 4 2 4 2 2</gml:posList>
+        </gml:LinearRing></gml:interior>
+      </gml:PolygonPatch></gml:patches></gml:Surface>"""
+    g = gml_loads(srf)
+    assert wkt_dumps(g) == (
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+    )
+
+    multi_patch = srf.replace(
+        "</gml:PolygonPatch></gml:patches>",
+        """</gml:PolygonPatch><gml:PolygonPatch>
+        <gml:exterior><gml:LinearRing>
+          <gml:posList>20 20 30 20 30 30 20 20</gml:posList>
+        </gml:LinearRing></gml:exterior>
+      </gml:PolygonPatch></gml:patches>""",
+    )
+    with pytest.raises(ValueError, match="multi-patch"):
+        gml_loads(multi_patch)
+
+    # the GML3 containers nest inside the Multi* member tags
+    mc = """<gml:MultiCurve xmlns:gml="http://www.opengis.net/gml">
+      <gml:curveMember><gml:Curve><gml:segments>
+        <gml:LineStringSegment><gml:posList>0 0 1 1</gml:posList></gml:LineStringSegment>
+      </gml:segments></gml:Curve></gml:curveMember>
+      <gml:curveMember><gml:LineString>
+        <gml:posList>2 2 3 3</gml:posList>
+      </gml:LineString></gml:curveMember></gml:MultiCurve>"""
+    assert wkt_dumps(gml_loads(mc)) == "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"
+
+    ms = """<gml:MultiSurface xmlns:gml="http://www.opengis.net/gml">
+      <gml:surfaceMember>{}</gml:surfaceMember></gml:MultiSurface>""".format(srf)
+    assert wkt_dumps(gml_loads(ms)) == (
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2)))"
+    )
