@@ -110,6 +110,18 @@ def build_registry() -> dict:
 
 
     @pandas_udf("string")
+    def st_astext_precision(wkb: pd.Series, digits: pd.Series) -> pd.Series:
+        # WKT with a maximum-fraction-digits bound (OrdinateFormat.cs:78-83
+        # '0.##' semantics: round, trim trailing zeros, never an exponent)
+        return pd.Series(
+            [
+                None if g is None else wkt_dumps(g, decimals=int(d))
+                for g, d in zip(_geoms(wkb), digits)
+            ]
+        )
+
+
+    @pandas_udf("string")
     def st_relate(a: pd.Series, b: pd.Series) -> pd.Series:
         ga = _geoms(a)
         gb = _geoms(b)
@@ -681,6 +693,7 @@ def build_registry() -> dict:
         "ST_HasZ": st_hasz,
         "ST_Force2D": st_force2d,
         "ST_AsText": st_astext,
+        "ST_AsTextPrecision": st_astext_precision,
         "ST_Area": _unary_double(measures.area),
         "ST_Length": _unary_double(measures.length),
         "ST_Centroid": st_centroid,

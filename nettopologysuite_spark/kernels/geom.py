@@ -347,41 +347,67 @@ def _read_polygon_body(sc: _WktScanner, extra: int) -> Geom:
     return Geom(POLYGON, rings=rings)
 
 
-def _fmt_num(v: float) -> str:
-    """Number formatting per the reference's OrdinateFormat (shortest round-trip,
-    no exponent for typical magnitudes, integral values without '.0')."""
+def _fmt_num(v: float, decimals: int | None = None) -> str:
+    """Number formatting per the reference's OrdinateFormat
+    (``IO/OrdinateFormat.cs:104-204``): default is shortest round-trip
+    expanded to plain positional notation (the reference rewrites any
+    E-notation into digits — WKT never carries an exponent), integral
+    values without '.0'; NaN/±Inf use the reference's spellings. With
+    ``decimals`` < 16, fixed rounding to at most that many fraction digits
+    with trailing zeros trimmed (.NET ``0.##`` custom-format semantics,
+    ``OrdinateFormat.cs:78-83``); >= 16 falls back to round-trip exactly as
+    the reference does."""
+    v = float(v)
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Inf" if v > 0 else "-Inf"
+    if decimals is not None and decimals < 16:
+        s = f"{v:.{max(decimals, 0)}f}"
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return "0" if s in ("", "-", "-0") else s
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
-    return repr(float(v))
+    s = repr(v)
+    if "e" in s or "E" in s:
+        s = np.format_float_positional(v, trim="-")
+    return s
 
 
-def _fmt_coords(c: np.ndarray) -> str:
-    return ", ".join(f"{_fmt_num(x)} {_fmt_num(y)}" for x, y in c)
+def _fmt_coords(c: np.ndarray, decimals: int | None = None) -> str:
+    return ", ".join(
+        f"{_fmt_num(x, decimals)} {_fmt_num(y, decimals)}" for x, y in c
+    )
 
 
-def wkt_dumps(g: Geom) -> str:
+def wkt_dumps(g: Geom, decimals: int | None = None) -> str:
+    """WKT text; ``decimals`` is the optional maximum-fraction-digits
+    control (WKTWriter's PrecisionModel→OrdinateFormat path,
+    ``IO/WKTWriter.cs:136-143``)."""
     name = g.type_name
     if g.is_empty:
         return f"{name} EMPTY"
     if g.gtype == POINT:
-        return f"POINT ({_fmt_coords(g.coords)})"
+        return f"POINT ({_fmt_coords(g.coords, decimals)})"
     if g.gtype == LINESTRING:
-        return f"LINESTRING ({_fmt_coords(g.coords)})"
+        return f"LINESTRING ({_fmt_coords(g.coords, decimals)})"
     if g.gtype == POLYGON:
-        body = ", ".join(f"({_fmt_coords(r)})" for r in g.rings)
+        body = ", ".join(f"({_fmt_coords(r, decimals)})" for r in g.rings)
         return f"POLYGON ({body})"
     if g.gtype == MULTIPOINT:
-        body = ", ".join(f"({_fmt_coords(p.coords)})" for p in g.parts)
+        body = ", ".join(f"({_fmt_coords(p.coords, decimals)})" for p in g.parts)
         return f"MULTIPOINT ({body})"
     if g.gtype == MULTILINESTRING:
-        body = ", ".join(f"({_fmt_coords(p.coords)})" for p in g.parts)
+        body = ", ".join(f"({_fmt_coords(p.coords, decimals)})" for p in g.parts)
         return f"MULTILINESTRING ({body})"
     if g.gtype == MULTIPOLYGON:
         body = ", ".join(
-            "(" + ", ".join(f"({_fmt_coords(r)})" for r in p.rings) + ")" for p in g.parts
+            "(" + ", ".join(f"({_fmt_coords(r, decimals)})" for r in p.rings) + ")"
+            for p in g.parts
         )
         return f"MULTIPOLYGON ({body})"
-    body = ", ".join(wkt_dumps(p) for p in g.parts)
+    body = ", ".join(wkt_dumps(p, decimals) for p in g.parts)
     return f"GEOMETRYCOLLECTION ({body})"
 
 

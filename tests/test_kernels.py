@@ -152,3 +152,56 @@ def test_morton_hilbert():
 
 def test_envelope_nan_for_empty():
     assert all(math.isnan(v) for v in G.wkt_loads("POLYGON EMPTY").envelope())
+
+
+def test_ordinate_format_fixtures():
+    """Number formatting mirrors the reference's OrdinateFormat exactly
+    (OrdinateFormatTest.cs:15-121): shortest round-trip expanded to plain
+    positional digits (never an exponent), fraction-digit caps with
+    trailing-zero trim, NaN/Inf spellings."""
+    import math
+
+    from nettopologysuite_spark.kernels.geom import _fmt_num
+
+    cases = [
+        (1234567890.0, None, "1234567890"),
+        (12345678901234567890.0, None, "12345678901234567000"),
+        (1.123, None, "1.123"),
+        (-1.123, None, "-1.123"),
+        (1.123456789012345, None, "1.123456789012345"),
+        (0.0123456789012345, None, "0.0123456789012345"),
+        (1.123456789012345e4, None, "11234.56789012345"),
+        (1.123456789012345, 2, "1.12"),
+        (1.123456789012345, 3, "1.123"),
+        (1.123456789012345, 4, "1.1235"),
+        (1.123456789012345, 5, "1.12346"),
+        (1.123456789012345, 6, "1.123457"),
+        (0.0000000000123456789012345, None, "0.0000000000123456789012345"),
+        (math.pi, None, "3.141592653589793"),
+        (float("nan"), None, "NaN"),
+        (float("inf"), None, "Inf"),
+        (float("-inf"), None, "-Inf"),
+        (5e-324, None, "0." + "0" * 323 + "5"),          # double.Epsilon
+        (1.7976931348623157e308, None,                    # double.MaxValue
+         "17976931348623157" + "0" * 292),
+    ]
+    for v, digits, expected in cases:
+        assert _fmt_num(v, digits) == expected, (v, digits)
+    # values that round to zero keep a bare unsigned zero
+    assert _fmt_num(0.004, 2) == "0"
+    assert _fmt_num(-0.004, 2) == "0"
+
+
+def test_wkt_dumps_decimals():
+    """wkt_dumps(decimals=N) trims output like WKTWriter with a fixed-scale
+    PrecisionModel (WKTWriterTest.cs writer2/writer3 shapes)."""
+    from nettopologysuite_spark.kernels.geom import wkt_dumps, wkt_loads
+
+    g = wkt_loads("POINT (1.123456789 9.87654321)")
+    assert wkt_dumps(g, decimals=2) == "POINT (1.12 9.88)"
+    assert wkt_dumps(g, decimals=0) == "POINT (1 10)"
+    assert wkt_dumps(g) == "POINT (1.123456789 9.87654321)"
+    ml = wkt_loads("MULTILINESTRING ((0.125 0.375, 1.0625 2.5))")
+    assert wkt_dumps(ml, decimals=1) == "MULTILINESTRING ((0.1 0.4, 1.1 2.5))"
+    # decimals >= 16 falls back to round-trip output (OrdinateFormat R path)
+    assert wkt_dumps(g, decimals=17) == "POINT (1.123456789 9.87654321)"

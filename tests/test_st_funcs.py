@@ -154,3 +154,18 @@ def test_st_z_surface(spark):
     ).collect()}
     assert rows[1] == (9.5, True, False)
     assert rows[2] == (None, False, False)
+
+
+def test_st_astext_precision(spark):
+    """ST_AsTextPrecision(geom, digits): WKT with OrdinateFormat's
+    maximum-fraction-digits semantics through SQL."""
+    from nettopologysuite_spark.functions.st_funcs import register_all
+
+    register_all(spark)
+    row = spark.sql(
+        "SELECT ST_AsTextPrecision(ST_GeomFromText("
+        "'LINESTRING (1.123456789 2.5, 3.00001 4)'), 2) AS t2, "
+        "ST_AsTextPrecision(ST_GeomFromText('POINT (1.125 2)'), 0) AS t0"
+    ).first()
+    assert row["t2"] == "LINESTRING (1.12 2.5, 3 4)"
+    assert row["t0"] == "POINT (1 2)"
