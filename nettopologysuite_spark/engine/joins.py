@@ -267,103 +267,24 @@ def knn_join_ring(
     x: str = "x",
     y: str = "y",
 ) -> DataFrame:
-    """Cell-local kNN with guaranteed ring expansion (SURVEY §7 P6; the
-    distributed analog of STRtree.cs:556 branch-and-bound).
+    """Cell-local kNN for a driver-side query LIST — a thin wrapper over
+    the fully-native annulus engine (:func:`knn_join_table`), kept for API
+    parity (SURVEY §7 P6; the distributed analog of STRtree.cs:556
+    branch-and-bound).
 
-    Per round r the active queries join only the cells of Chebyshev ring r
-    around their own cell; survivors accumulate per-query top-k. A query
-    finishes once its k-th distance is ≤ the distance from the query point
-    to the boundary of the examined cell square — every unexamined cell is
-    provably farther. Work per query is proportional to the LOCAL point
-    density, never the full table (the dense-matrix ``knn_join_points``
-    touches every point for every query). Output is identical to the dense
-    path (same oracle)."""
-    import math
-
+    The original implementation generated each Chebyshev ring's cell ids in
+    a driver-side Python loop (O(r²) cells per query per round plus a
+    ``createDataFrame`` per round); the table path explodes the same annuli
+    with native ``sequence()`` arithmetic, retires queries with a native
+    margin test, and returns the identical (q_id, rank, id, d²) rows — so
+    the list form now just lifts the queries into a DataFrame and
+    delegates."""
     spark = points.sparkSession
-    pts = with_cell_id(points, grid, x, y).select(id_col, x, y, "cell_id").persist()
-    n = grid.n
-    qinfo = {
-        int(q_id): (float(qx), float(qy)) for q_id, qx, qy in queries
-    }
-    qcells = {
-        q_id: (int(grid.col_of(np.array([qx]))[0]), int(grid.row_of(np.array([qy]))[0]))
-        for q_id, (qx, qy) in qinfo.items()
-    }
-    survivors: DataFrame | None = None
-    best_k: dict[int, float] = {}
-    active = set(qinfo)
-    r = 0
-    max_r = 2 * n
-    while active and r <= max_r:
-        rows = []
-        for q_id in active:
-            cx, cy = qcells[q_id]
-            qx, qy = qinfo[q_id]
-            for ix in range(cx - r, cx + r + 1):
-                for iy in range(cy - r, cy + r + 1):
-                    if max(abs(ix - cx), abs(iy - cy)) != r:
-                        continue
-                    if 0 <= ix < n and 0 <= iy < n:
-                        rows.append((iy * n + ix, q_id, qx, qy))
-        if rows:
-            ring = spark.createDataFrame(
-                rows, "cell_id long, q_id long, qx double, qy double"
-            )
-            dx = F.col(x) - F.col("qx")
-            dy = F.col(y) - F.col("qy")
-            cand = (
-                pts.join(F.broadcast(ring), "cell_id")
-                .select("q_id", F.col(id_col), (dx * dx + dy * dy).alias("d2"))
-            )
-            prev = survivors
-            merged = cand if prev is None else prev.unionByName(cand)
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col(id_col).asc())
-            survivors = (
-                merged.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") <= k)
-                .drop("_rk")
-            ).persist()
-            counts = {
-                row["q_id"]: (row["cnt"], row["dk"])
-                for row in survivors.groupBy("q_id")
-                .agg(F.count("*").alias("cnt"), F.max("d2").alias("dk"))
-                .collect()  # also materializes the new cache
-            }
-            if prev is not None:
-                prev.unpersist()  # superseded survivor frame — no cache growth
-        else:
-            counts = {}
-        done = set()
-        for q_id in active:
-            cnt, dk = counts.get(q_id, (0, math.inf))
-            if cnt < k:
-                continue
-            # distance from q to the boundary of the examined square of
-            # cells (ring radius r): every unexamined cell is farther
-            cx, cy = qcells[q_id]
-            qx, qy = qinfo[q_id]
-            x_lo = grid.minx + (cx - r) * grid.cell_w
-            x_hi = grid.minx + (cx + r + 1) * grid.cell_w
-            y_lo = grid.miny + (cy - r) * grid.cell_h
-            y_hi = grid.miny + (cy + r + 1) * grid.cell_h
-            margin = min(qx - x_lo, x_hi - qx, qy - y_lo, y_hi - qy)
-            covered_all = (cx - r) < 0 and (cx + r) >= n and (cy - r) < 0 and (cy + r) >= n
-            if covered_all or (margin >= 0 and dk <= margin * margin):
-                done.add(q_id)
-        active -= done
-        r += 1
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col(id_col).asc())
-    out = (
-        survivors.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "rank", id_col, "d2")
+    qdf = spark.createDataFrame(
+        [(int(q), float(a), float(b)) for q, a, b in queries],
+        "q_id long, qx double, qy double",
     )
-    return out
+    return knn_join_table(points, qdf, k, grid, id_col=id_col, x=x, y=y)
 
 
 def within_distance_join_table(
