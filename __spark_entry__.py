@@ -111,6 +111,20 @@ def q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pid", "poly_id")
 
 
+def q_pip_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join through the adaptive multi-level cover (S2 RegionCoverer /
+    H3 polyfill-with-compaction analog, ``kernels/adaptive.py``): interior
+    cover cells accept candidates with ZERO Python — only boundary-cell
+    candidates pay the exact refine. Same result set as the single-level
+    broadcast path — same oracle."""
+    from nettopologysuite_spark.engine.joins import pip_join_points_adaptive
+
+    pts = _event_points(spark, sf_dir)
+    pack = _octagon_pack(_nation_keys(spark, sf_dir))
+    out = pip_join_points_adaptive(pts, pack, GRID, "covers")
+    return out.select("pid", "poly_id")
+
+
 def q_within_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _event_points(spark, sf_dir)
     keys = _nation_keys(spark, sf_dir)
@@ -802,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_morton": q_tile_morton,
         "pip_rect_join": q_pip_rect_join,
         "pip_convex_join": q_pip_convex_join,
+        "pip_join_adaptive": q_pip_join_adaptive,
         "pip_join_salted": q_pip_join_salted,
         "within_dist_join": q_within_dist_join,
         "knn_join": q_knn_join,
@@ -1096,6 +1111,10 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {_PTS} p CROSS JOIN nation n WHERE {oct_pred}"
         ),
         "pip_join_salted": (
+            f"SELECT p.pid, 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
+            f"FROM {_PTS} p CROSS JOIN nation n WHERE {oct_pred}"
+        ),
+        "pip_join_adaptive": (
             f"SELECT p.pid, 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
             f"FROM {_PTS} p CROSS JOIN nation n WHERE {oct_pred}"
         ),

@@ -159,6 +159,109 @@ def pip_join_points_sortmerge(
     return out.drop("salt")
 
 
+def _adaptive_cover_rows(pack: PolygonPack, grid: Grid,
+                         max_cells: int = 1024) -> list[tuple]:
+    from ..kernels.adaptive import adaptive_cover
+    from ..kernels.geom import wkb_loads
+
+    prepared = pack.prepared()
+    rows: list[tuple] = []
+    for e in pack.entries:
+        lv, cl, it = adaptive_cover(
+            wkb_loads(e.wkb), grid, max_cells=max_cells,
+            prep=prepared[e.poly_id],
+        )
+        rows.extend(
+            (int(l), int(c), e.poly_id, bool(i)) for l, c, i in zip(lv, cl, it)
+        )
+    return rows
+
+
+def adaptive_cover_df(spark: SparkSession, pack: PolygonPack, grid: Grid,
+                      max_cells: int = 1024) -> DataFrame:
+    """Multi-level (level, cell, poly_id, interior) cover relation — the S2
+    RegionCoverer analog (see ``kernels.adaptive``). Driver-side like
+    ``cover_cells_df``: the polygon pack is the small broadcast side."""
+    return spark.createDataFrame(
+        _adaptive_cover_rows(pack, grid, max_cells),
+        "level int, cell long, poly_id string, interior boolean",
+    )
+
+
+def pip_join_points_adaptive(
+    points: DataFrame,
+    pack: PolygonPack,
+    grid: Grid,
+    predicate: str = "covers",
+    x: str = "x",
+    y: str = "y",
+    max_cells: int = 1024,
+) -> DataFrame:
+    """PIP join through the adaptive multi-level cover: candidates falling
+    in INTERIOR cover cells are accepted with zero Python — only boundary-
+    cell candidates pay the exact refine UDF.
+
+    Point side: the finest-level (ix, iy) is computed once (native floor
+    projection), then shifted down to each level present in the cover —
+    one native explode over ≤ #levels (level, cell) structs, broadcast
+    hash join on (level, cell). Cover cells of one polygon are disjoint
+    across levels (quadtree partition), so each (point, polygon) pair
+    appears at most once — no dedup stage.
+
+    At 100 TB this converts the refine cost from O(all candidates) to
+    O(boundary-cell candidates) — for large polygons the overwhelming
+    majority of matches are interior and never cross into Python — while
+    bounding the cover size of arbitrarily large polygons to ``max_cells``
+    rows (the envelope cover grows with polygon area).
+
+    The interior fast path additionally requires the point to lie inside
+    the grid extent (a native range condition): out-of-extent points clamp
+    into edge cells during assignment, so only the exact refine may accept
+    them.
+    """
+    spark = points.sparkSession
+    rows = _adaptive_cover_rows(pack, grid, max_cells=max_cells)
+    cover = spark.createDataFrame(
+        rows, "level int, cell long, poly_id string, interior boolean"
+    )
+    levels = sorted({r[0] for r in rows})  # ≤ grid.level + 1 values
+    if not levels:
+        empty = points.limit(0).withColumn("poly_id", F.lit(None).cast("string"))
+        return empty
+    L, n = grid.level, grid.n
+    ix = F.floor((F.col(x) - F.lit(grid.minx)) / F.lit(grid.cell_w)).cast("long")
+    iy = F.floor((F.col(y) - F.lit(grid.miny)) / F.lit(grid.cell_h)).cast("long")
+    ix = F.greatest(F.lit(0), F.least(F.lit(n - 1), ix))
+    iy = F.greatest(F.lit(0), F.least(F.lit(n - 1), iy))
+    pts = points.withColumn("_ix", ix).withColumn("_iy", iy)
+    lvl_cells = F.array(*[
+        F.struct(
+            F.lit(lv).cast("int").alias("level"),
+            (F.shiftright(F.col("_iy"), L - lv) * F.lit(1 << lv)
+             + F.shiftright(F.col("_ix"), L - lv)).cast("long").alias("cell"),
+        )
+        for lv in levels
+    ])
+    pts_l = (
+        pts.select("*", F.explode(lvl_cells).alias("_lc"))
+        .withColumn("level", F.col("_lc.level"))
+        .withColumn("cell", F.col("_lc.cell"))
+        .drop("_lc")
+    )
+    cand = pts_l.join(F.broadcast(cover), ["level", "cell"])
+    in_extent = (
+        (F.col(x) >= F.lit(grid.minx)) & (F.col(x) < F.lit(grid.maxx))
+        & (F.col(y) >= F.lit(grid.miny)) & (F.col(y) < F.lit(grid.maxy))
+    )
+    fast = F.col("interior") & in_extent
+    accepted = cand.filter(fast)
+    refined = cand.filter(~fast).filter(
+        pip_refine_udf(pack, predicate)(F.col(x), F.col(y), F.col("poly_id"))
+    )
+    drop = ["level", "cell", "interior", "_ix", "_iy"]
+    return accepted.drop(*drop).unionByName(refined.drop(*drop))
+
+
 # ---------------------------------------------------------------------------
 # within-distance join (range-join analog)
 # ---------------------------------------------------------------------------
