@@ -797,6 +797,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(events, queries)
 
 
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: duplicate 8-token windows across documents
+    (Lee et al. 2022 window-granular analog) — per-doc window totals and
+    duplicated-window counts, all-native plan, hash-keyed shuffles."""
+    from nettopologysuite_spark.engine.dedup import window_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return window_dedup(docs, k=8)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (md5-60-bit gram hash → DuckDB-reproducible)."""
     from nettopologysuite_spark.engine.dedup import simhash_fingerprints
@@ -858,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "hull_agg": q_hull_agg,
         "simhash": q_simhash,
+        "window_dedup": q_window_dedup,
         "interval_join": q_interval_join,
         "asof_join": q_asof_join,
     }
@@ -1308,6 +1319,21 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "doc_quality": _doc_quality_oracle(),
         "simhash": _simhash_oracle(),
+        "window_dedup": (
+            "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws "
+            "FROM documents), "
+            "wins AS (SELECT doc_id, "
+            "CAST(('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT) AS wh "
+            "FROM toks, LATERAL UNNEST(generate_series(1, len(ws) - 7)) AS t(i) "
+            "WHERE len(ws) >= 8), "
+            "dup AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2), "
+            "tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY doc_id), "
+            "fl AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM wins "
+            "WHERE wh IN (SELECT wh FROM dup) GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(tot.n_windows, 0) AS n_windows, "
+            "COALESCE(fl.n_dup_windows, 0) AS n_dup_windows "
+            "FROM documents d LEFT JOIN tot USING(doc_id) LEFT JOIN fl USING(doc_id)"
+        ),
         "ann_lsh": _ann_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "embed_project": _embed_project_oracle(),

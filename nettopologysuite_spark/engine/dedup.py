@@ -326,6 +326,68 @@ def minhash_lsh_pairs(
     return verified.where(F.col("ni") * 100 >= F.col("nu") * threshold_pct)
 
 
+def window_dedup(docs: DataFrame, k: int = 8, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Substring-level (k-token window) duplicate detection — the
+    window-granular analog of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ACL 2022), which removes duplicate
+    50-token substrings rather than whole near-dup documents.
+
+    Every k-token window of the whitespace token stream is hashed and a
+    window is DUPLICATED when its hash occurs in ≥ 2 distinct documents.
+    Returns one row per input doc: (doc_id, n_windows, n_dup_windows) —
+    the decision artifact a span-removal pass would act on.
+
+    Scale shape: one native explode (n_tokens − k + 1 rows per doc — the
+    same order as the gram explodes of minhash/simhash), every shuffle on
+    the 60-bit window hash (window STRINGS never shuffle: the hash
+    projects map-side before the exchange), one groupBy for the dup set,
+    one hash-join back, two doc-id aggregates. Zero Python. The hash is
+    the md5-prefix BIGINT (as simhash) so the DuckDB oracle reproduces it
+    bit-for-bit; hash collisions would merge windows identically in both
+    engines.
+    """
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    nw = F.size(words)
+    idx = F.when(
+        nw >= k, F.sequence(F.lit(1), nw - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(k))))
+    wh = docs.select(
+        F.col(id_col).alias("_id"), F.explode(wins).alias("win")
+    ).select(
+        "_id",
+        F.expr(
+            "CAST(CONV(SUBSTRING(md5(win), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("wh"),
+    )
+    dup = (
+        wh.groupBy("wh")
+        .agg(F.count_distinct(F.col("_id")).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    totals = wh.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    flagged = (
+        wh.join(dup, "wh", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(totals, "_id", "left")
+        .join(flagged, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias("n_dup_windows"),
+        )
+    )
+
+
 def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = 60,
                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash per doc: majority vote per bit over gram hashes — expressed

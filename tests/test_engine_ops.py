@@ -342,3 +342,50 @@ def test_dup_clusters_auto_switches_on_high_diameter(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in dup_clusters(pairs, method="auto", star_after=3).collect()}
     assert len(got) == n and set(got.values()) == {"p-000"}
+
+
+def test_window_dedup_planted_duplicates(spark):
+    """Planted 8-token runs shared across docs are flagged; unique text is
+    not; short docs yield zero windows. Brute-force cross-check."""
+    from nettopologysuite_spark.engine.dedup import window_dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        ("d1", f"unique one two three {shared} tail1 tail2"),
+        ("d2", f"other prefix words here {shared} different suffix"),
+        ("d3", "completely disjoint text with no repeated window at all ok"),
+        ("d4", "tiny doc"),  # < 8 tokens → 0 windows
+        ("d5", f"{shared} {shared}"),  # shares with d1/d2 AND repeats inside
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+           for r in window_dedup(docs, k=8).collect()}
+
+    # brute force in python
+    def wins(t):
+        w = t.split()
+        return [" ".join(w[i:i + 8]) for i in range(len(w) - 7)]
+
+    owner = {}
+    for did, t in rows:
+        for win in set(wins(t)):
+            owner.setdefault(win, set()).add(did)
+    dup = {w for w, ds in owner.items() if len(ds) >= 2}
+    for did, t in rows:
+        ws = wins(t)
+        assert got[did] == (len(ws), sum(w in dup for w in ws)), did
+    assert got["d4"] == (0, 0)
+    assert got["d3"][1] == 0
+    assert got["d1"][1] >= 1 and got["d5"][1] >= 2
+
+
+def test_window_dedup_plan_all_native(spark):
+    """No Python evaluation anywhere in the window-dedup plan."""
+    from nettopologysuite_spark.engine.dedup import window_dedup
+
+    docs = spark.createDataFrame(
+        [("a", "one two three four five six seven eight nine")],
+        "doc_id string, text string",
+    )
+    plan = window_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
