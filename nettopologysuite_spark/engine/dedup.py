@@ -519,21 +519,28 @@ def dup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
             .agg(F.min("_nl").alias("_nbl"))
             .withColumnRenamed("a", "node")
         )
+        # convergence is observed DURING the checkpoint materialization
+        # (old label carried alongside, sum of changes as an Observation
+        # metric) — no separate change-detection join/job per round
+        obs = Observation()
         new = (
             labels.join(nbr, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("_nbl"), F.col("label")))
                 .alias("label"),
+                F.col("label").alias("_old"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("_old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("node", "label")
             .localCheckpoint(eager=True)  # truncate per-round lineage
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-        )
-        stable = changed.isEmpty()
+        stable = (obs.get["changed"] or 0) == 0
         labels = new
         rounds += 1
         if stable:
