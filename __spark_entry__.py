@@ -797,6 +797,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(events, queries)
 
 
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 256-token training chunks
+    (two-level prefix sum — no global single-partition sort; native
+    sequence() chunk fan-out)."""
+    from nettopologysuite_spark.engine.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, ctx_len=256)
+
+
 def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup: duplicate 8-token windows across documents
     (Lee et al. 2022 window-granular analog) — per-doc window totals and
@@ -869,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_agg": q_hull_agg,
         "simhash": q_simhash,
         "window_dedup": q_window_dedup,
+        "seq_pack": q_seq_pack,
         "interval_join": q_interval_join,
         "asof_join": q_asof_join,
     }
@@ -1319,6 +1330,19 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "doc_quality": _doc_quality_oracle(),
         "simhash": _simhash_oracle(),
+        "seq_pack": (
+            "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), "
+            "o AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offs FROM t), "
+            "e AS (SELECT doc_id, n, offs, c AS chunk_id FROM o, "
+            "LATERAL UNNEST(generate_series(offs // 256, (offs + n - 1) // 256)) AS u(c) "
+            "WHERE n > 0) "
+            "SELECT chunk_id, doc_id, "
+            "GREATEST(0, chunk_id * 256 - offs) AS tok_start, "
+            "LEAST(n, (chunk_id + 1) * 256 - offs) AS tok_end, "
+            "GREATEST(0, offs - chunk_id * 256) AS chunk_pos FROM e"
+        ),
         "window_dedup": (
             "WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws "
             "FROM documents), "

@@ -192,6 +192,80 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
     )
 
 
+def pack_sequences(docs: DataFrame, ctx_len: int = 256,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   bucket_width: int = 4096) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM pretraining
+    data layout: documents are concatenated in deterministic ``id`` order
+    into one global token stream, which is cut into fixed-``ctx_len``
+    training chunks; a document crossing a chunk boundary is split.
+
+    Returns one row per (chunk, doc) intersection:
+    (chunk_id, doc_id, tok_start, tok_end, chunk_pos) with token indices
+    half-open within the doc and ``chunk_pos`` the doc's start offset
+    inside the chunk — exactly what an example-assembly pass consumes.
+
+    Scale shape: the global running offset is NOT a single-partition
+    ``Window.orderBy`` over the corpus (the classic packing anti-pattern —
+    one reducer sees every row). It is a two-level prefix sum: docs bucket
+    by ``id DIV bucket_width`` (order-preserving ranges), per-bucket token
+    totals prefix-sum on a bounded frame (#buckets rows), and the
+    within-bucket cumsum runs as a partitioned window — every stage
+    parallel, one bounded broadcast back. Chunk fan-out is a native
+    ``sequence()`` explode. Zero Python.
+    """
+    from pyspark.sql import Window
+
+    t = F.trim(F.col(text_col))
+    n_tok = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+    d = docs.select(F.col(id_col).alias("_id"), n_tok.alias("_n")).withColumn(
+        "_b", F.expr(f"_id DIV {bucket_width}")
+    )
+    btot = d.groupBy("_b").agg(F.sum("_n").alias("_bt"))
+    bprefix = btot.withColumn(
+        "_boff",
+        F.coalesce(
+            F.sum("_bt").over(
+                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_b", "_boff")
+    local = Window.partitionBy("_b").orderBy("_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = (
+        d.withColumn("_loff", F.coalesce(F.sum("_n").over(local), F.lit(0)))
+        .join(F.broadcast(bprefix), "_b")
+        .withColumn("_off", F.col("_boff") + F.col("_loff"))
+    )
+    C = F.lit(ctx_len).cast("long")
+    spans = (
+        off.filter(F.col("_n") > 0)
+        .withColumn(
+            "chunk_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_off DIV {ctx_len}"),
+                    F.expr(f"(_off + _n - 1) DIV {ctx_len}"),
+                )
+            ),
+        )
+    )
+    return spans.select(
+        F.col("chunk_id").cast("long"),
+        F.col("_id").alias(id_col),
+        F.greatest(F.lit(0).cast("long"),
+                   F.col("chunk_id") * C - F.col("_off")).alias("tok_start"),
+        F.least(F.col("_n"),
+                (F.col("chunk_id") + 1) * C - F.col("_off")).alias("tok_end"),
+        F.greatest(F.lit(0).cast("long"),
+                   F.col("_off") - F.col("chunk_id") * C).alias("chunk_pos"),
+    )
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 3,
                   threshold_pct: int = 30, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:

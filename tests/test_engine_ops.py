@@ -389,3 +389,62 @@ def test_window_dedup_plan_all_native(spark):
     )
     plan = window_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_pack_sequences_invariants(spark):
+    """Concat-and-chunk packing: chunks tile the global token stream with
+    no gaps/overlaps; every chunk except the last is exactly full; per-doc
+    spans reassemble the doc; bucketed prefix-sum equals the naive global
+    cumsum (bucket_width smaller than the doc count to force multi-bucket)."""
+    from nettopologysuite_spark.engine.text import pack_sequences
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(5 + (i * 7) % 90)))
+            for i in range(100)]
+    rows.append((100, ""))  # empty doc → no spans
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    C = 64
+    got = pack_sequences(docs, ctx_len=C, bucket_width=16).collect()
+
+    n_of = {i: len(t.split()) for i, t in rows}
+    total = sum(n_of.values())
+    # naive oracle: global offsets in doc_id order
+    offs, run = {}, 0
+    for i in sorted(n_of):
+        offs[i] = run
+        run += n_of[i]
+
+    seen_docs = {}
+    by_chunk = {}
+    for r in got:
+        assert 0 <= r["tok_start"] < r["tok_end"] <= n_of[r["doc_id"]]
+        assert 0 <= r["chunk_pos"] < C
+        # span's global interval must sit inside its chunk
+        g0 = offs[r["doc_id"]] + r["tok_start"]
+        g1 = offs[r["doc_id"]] + r["tok_end"]
+        assert g0 // C == r["chunk_id"] and (g1 - 1) // C == r["chunk_id"]
+        assert r["chunk_pos"] == g0 - r["chunk_id"] * C
+        seen_docs.setdefault(r["doc_id"], []).append((r["tok_start"], r["tok_end"]))
+        by_chunk.setdefault(r["chunk_id"], 0)
+        by_chunk[r["chunk_id"]] += r["tok_end"] - r["tok_start"]
+    # per-doc reassembly
+    for i, n in n_of.items():
+        spans = sorted(seen_docs.get(i, []))
+        if n == 0:
+            assert spans == []
+            continue
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 == b0
+    # chunk fullness
+    last = max(by_chunk)
+    for cid, filled in by_chunk.items():
+        assert filled == (C if cid != last else total - last * C), cid
+    assert set(by_chunk) == set(range(last + 1))
+
+
+def test_pack_sequences_plan_all_native(spark):
+    from nettopologysuite_spark.engine.text import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
