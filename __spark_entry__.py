@@ -797,6 +797,17 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(events, queries)
 
 
+def q_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN(eps=0.5, minPts=3) over the event points — the PostGIS
+    ST_ClusterDBSCAN analog (deterministic min-label border assignment).
+    eps-grid candidate join + star-dataflow connected components, all
+    native."""
+    from nettopologysuite_spark.engine.cluster import dbscan
+
+    pts = _event_points(spark, sf_dir)
+    return dbscan(pts, eps=0.5, min_pts=3)
+
+
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing into 256-token training chunks
     (two-level prefix sum — no global single-partition sort; native
@@ -880,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "window_dedup": q_window_dedup,
         "seq_pack": q_seq_pack,
+        "geo_cluster": q_geo_cluster,
         "interval_join": q_interval_join,
         "asof_join": q_asof_join,
     }
@@ -1330,6 +1342,40 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "doc_quality": _doc_quality_oracle(),
         "simhash": _simhash_oracle(),
+        "geo_cluster": (
+            # eps = 0.5 (dyadic: /0.5 ≡ *2 exactly in IEEE), minPts = 3.
+            # Same eps-grid candidate join as the engine, then transitive
+            # closure over core-core edges seeded per-core (covers
+            # singleton cores), min-label clusters, min-label borders.
+            "WITH RECURSIVE "
+            f"pts AS (SELECT pid, x, y, "
+            "CAST(FLOOR(x * CAST(2 AS DOUBLE)) AS BIGINT) AS cx, "
+            "CAST(FLOOR(y * CAST(2 AS DOUBLE)) AS BIGINT) AS cy "
+            f"FROM {_PTS} p), "
+            "offs AS (SELECT dxs.g AS dx, dys.g AS dy "
+            "FROM generate_series(-1, 1) dxs(g), generate_series(-1, 1) dys(g)), "
+            "cand AS (SELECT p.pid AS a, q.pid AS b "
+            "FROM pts p CROSS JOIN offs JOIN pts q "
+            "ON p.cx + offs.dx = q.cx AND p.cy + offs.dy = q.cy "
+            "WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) "
+            "<= CAST(1 AS DOUBLE) / CAST(4 AS DOUBLE)), "
+            "deg AS (SELECT a, COUNT(*) AS n FROM cand GROUP BY a), "
+            "core AS (SELECT a FROM deg WHERE n >= 3), "
+            "ce AS (SELECT c.a, c.b FROM cand c WHERE c.a <> c.b "
+            "AND c.a IN (SELECT a FROM core) AND c.b IN (SELECT a FROM core)), "
+            "reach(node, label) AS ("
+            "  SELECT a, a FROM core "
+            "  UNION "
+            "  SELECT e.a, r.label FROM ce e JOIN reach r ON e.b = r.node), "
+            "clab AS (SELECT node, MIN(label) AS cl FROM reach GROUP BY node), "
+            "border AS (SELECT c.a AS pid, MIN(k.cl) AS cl "
+            "FROM cand c JOIN clab k ON c.b = k.node "
+            "WHERE c.a NOT IN (SELECT a FROM core) GROUP BY c.a) "
+            "SELECT p.pid, COALESCE(k.cl, b.cl) AS cluster_id, "
+            "(k.node IS NOT NULL) AS is_core "
+            "FROM pts p LEFT JOIN clab k ON p.pid = k.node "
+            "LEFT JOIN border b ON p.pid = b.pid"
+        ),
         "seq_pack": (
             "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
             "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), "

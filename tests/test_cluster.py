@@ -1,0 +1,103 @@
+"""DBSCAN correctness vs a brute-force reference implementation, plus the
+precontract CC equivalence."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from nettopologysuite_spark.engine.cluster import dbscan  # noqa: E402
+
+
+def _brute_dbscan(ids, xs, ys, eps, min_pts):
+    """Reference DBSCAN with deterministic min-label clusters and
+    min-cluster border assignment (the engine's documented tie rule)."""
+    n = len(ids)
+    d2 = (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
+    nbr = d2 <= eps * eps
+    deg = nbr.sum(axis=1)  # includes self
+    core = deg >= min_pts
+    # CC over core-core adjacency
+    label = {i: None for i in range(n)}
+    comp = {}
+    for i in range(n):
+        if not core[i] or label[i] is not None:
+            continue
+        stack = [i]
+        members = []
+        seen = {i}
+        while stack:
+            u = stack.pop()
+            members.append(u)
+            for v in np.flatnonzero(nbr[u] & core):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        cl = min(ids[m] for m in members)
+        for m in members:
+            label[m] = cl
+        comp[cl] = members
+    out = {}
+    for i in range(n):
+        if core[i]:
+            out[ids[i]] = (label[i], True)
+        else:
+            cands = [label[j] for j in np.flatnonzero(nbr[i] & core)]
+            out[ids[i]] = (min(cands) if cands else None, False)
+    return out
+
+
+def test_dbscan_matches_brute_force(spark):
+    rng = np.random.default_rng(7)
+    # three dense blobs + scattered noise + a bridge point
+    blobs = [
+        rng.normal((10, 10), 0.3, (20, 2)),
+        rng.normal((30, 30), 0.3, (15, 2)),
+        rng.normal((50, 10), 0.3, (12, 2)),
+    ]
+    noise = rng.uniform(0, 60, (25, 2))
+    pts = np.concatenate(blobs + [noise])
+    ids = np.arange(len(pts), dtype=np.int64)
+    eps, min_pts = 1.0, 4
+    want = _brute_dbscan(ids, pts[:, 0], pts[:, 1], eps, min_pts)
+
+    df = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in zip(ids, pts)],
+        "pid long, x double, y double",
+    )
+    got = {r["pid"]: (r["cluster_id"], r["is_core"])
+           for r in dbscan(df, eps=eps, min_pts=min_pts).collect()}
+    assert got == want
+    # sanity: all three blobs clustered, some noise present
+    clusters = {c for c, _ in got.values() if c is not None}
+    assert len(clusters) >= 3
+    assert any(c is None for c, _ in got.values())
+
+
+def test_dbscan_all_native_plan(spark):
+    df = spark.createDataFrame([(1, 0.0, 0.0), (2, 0.1, 0.0), (3, 9.0, 9.0)],
+                               "pid long, x double, y double")
+    out = dbscan(df, eps=0.5, min_pts=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    got = {r["pid"]: (r["cluster_id"], r["is_core"]) for r in out.collect()}
+    assert got == {1: (1, True), 2: (1, True), 3: (None, False)}
+
+
+def test_cc_star_precontract_equivalence(spark):
+    """precontract must not change the clustering — path graph (worst case
+    for propagation) and a clique-plus-chain mix."""
+    from nettopologysuite_spark.engine.dedup import _cc_star
+
+    n = 500
+    rows = [(f"n-{i:04d}", f"n-{i+1:04d}") for i in range(n - 1)]
+    rows += [("c-1", "c-2"), ("c-2", "c-3"), ("c-1", "c-3")]
+    edges = spark.createDataFrame(rows, "a string, b string")
+    sym = edges.union(edges.selectExpr("b AS a", "a AS b")).distinct()
+    base = {(r["node"], r["label"]) for r in _cc_star(sym).collect()}
+    pc = {(r["node"], r["label"])
+          for r in _cc_star(sym, precontract=2).collect()}
+    assert base == pc
+    assert ("n-0499", "n-0000") in pc and ("c-3", "c-1") in pc
