@@ -273,6 +273,41 @@ def _event_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select("pid", _rect_wkb(F.col("pid"), F.col("x"), F.col("y")).alias("geom_wkb"))
 
 
+def _event_segs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-derived HORIZONTAL segments as WKB linestrings: (x−w, y) →
+    (x+w, y) with w = 1 + pid % 3 — the line side of the mixed-dimension
+    DE-9IM joins (horizontal keeps the oracle's separating-axis arithmetic
+    dyadic-exact)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    pts = _event_points(spark, sf_dir)
+
+    @pandas_udf("binary")
+    def _seg_wkb(pid: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        # vectorized WKB assembly: fixed-length (41-byte) little-endian
+        # 2-point linestring — one numpy buffer, no per-row encoder
+        w = 1 + (pid.to_numpy(np.int64) % 3)
+        xs = x.to_numpy(np.float64)
+        ys = y.to_numpy(np.float64)
+        n = len(xs)
+        buf = np.zeros((n, 41), dtype=np.uint8)
+        buf[:, 0] = 1  # little-endian
+        buf[:, 1] = 2  # LINESTRING
+        buf[:, 5] = 2  # two points
+        coords = np.empty((n, 4), dtype=np.float64)
+        coords[:, 0] = xs - w
+        coords[:, 1] = ys
+        coords[:, 2] = xs + w
+        coords[:, 3] = ys
+        buf[:, 9:] = coords.view(np.uint8).reshape(n, 32)
+        return pd.Series([r.tobytes() for r in buf])
+
+    return pts.select(
+        "pid", _seg_wkb(F.col("pid"), F.col("x"), F.col("y")).alias("geom_wkb")
+    )
+
+
 def _event_rects_snapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-snapped event rectangles (lower-left = floor of the LCG
     point, extents 1+pid%3 × 1+pid%2) — exact corners make edge/corner
@@ -300,6 +335,21 @@ def _event_rects_snapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series([r.tobytes() for r in buf])
 
     return pts.select("pid", _rect_wkb(F.col("pid"), F.col("x"), F.col("y")).alias("geom_wkb"))
+
+
+def q_seg_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-dimension CROSSES join: event-derived horizontal segments ×
+    nation octagons. The poly×line DE-9IM pair refines through the batched
+    line probes (vertex/crossing/midpoint interior-exterior evidence,
+    `kernels/batchgeom.py::batch_line_im_probes`) — per-pair Python only
+    for probe-ambiguous rows (boundary-collinear / multi-contact), which
+    generic segments never produce."""
+    from nettopologysuite_spark.engine.joins import spatial_join_wkb
+
+    segs = _event_segs(spark, sf_dir)
+    pack = _octagon_pack(_nation_keys(spark, sf_dir))
+    out = spatial_join_wkb(segs, pack, GRID, predicate="crosses")
+    return out.select("pid", "poly_id")
 
 
 def q_poly_poly_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_poly_join": q_poly_poly_join,
         "poly_poly_contains": q_poly_poly_contains,
         "poly_poly_touches": q_poly_poly_touches,
+        "seg_cross_join": q_seg_cross_join,
         "within_dist_join_geom": q_within_dist_join_geom,
         "media_features": q_media_features,
         "knn_join_geom": q_knn_join_geom,
@@ -1188,6 +1239,25 @@ def oracle_sql() -> dict[str, str]:
             + derive.rect_in_octagon_sql_pred("p.x", "p.y", "p.w", "p.h", "n.n_nationkey")
         ),
         "poly_poly_touches": _touches_sql(),
+        "seg_cross_join": (
+            # crosses(octagon, horizontal segment), dim pair (2,1):
+            # II ∧ EI. Convexity ⇒ EI ⟺ an endpoint strictly exterior
+            # (both endpoints in the closure pin the whole segment there);
+            # II via the STRICT separating-axis form (relative interiors
+            # of convex sets intersect iff every candidate axis overlaps
+            # with positive length). All arithmetic integer × dyadic.
+            f"SELECT p.pid, 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
+            f"FROM (SELECT pid, x, y, (1 + pid % 3) AS w FROM {_PTS} p0) p "
+            f"CROSS JOIN nation n WHERE "
+            + derive.hseg_octagon_strict_sql_pred(
+                "p.x - p.w", "p.x + p.w", "p.y", "n.n_nationkey"
+            )
+            + " AND (NOT "
+            + derive.nation_octagon_sql_pred("p.x - p.w", "p.y", "n.n_nationkey")
+            + " OR NOT "
+            + derive.nation_octagon_sql_pred("p.x + p.w", "p.y", "n.n_nationkey")
+            + ")"
+        ),
         "within_dist_join_geom": (
             f"SELECT p.pid, 'oct-' || CAST(n.n_nationkey AS VARCHAR) AS poly_id "
             f"FROM (SELECT pid, x, y, (1 + pid % 3) AS w, (1 + pid % 2) AS h "

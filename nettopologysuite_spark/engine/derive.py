@@ -361,6 +361,37 @@ def seg_octagon_sql_pred(x1: str, y1: str, x2: str, y2: str, nk: str,
     return "(" + " AND ".join(conds) + ")"
 
 
+def hseg_octagon_strict_sql_pred(x1: str, x2: str, y: str, nk: str) -> str:
+    """SQL predicate: the OPEN horizontal segment ({x1},{y})→({x2},{y})
+    (caller guarantees x1 < x2) meets nation {nk}'s octagon INTERIOR — the
+    II entry of the DE-9IM for the poly×line pair. Strict separating-axis
+    form of :func:`seg_octagon_sql_pred`: the relative interiors of two
+    convex sets intersect iff NO candidate axis (octagon edge normals +
+    the segment's normal) properly separates them, i.e. every axis
+    projection overlaps with POSITIVE length. Every octagon normal has
+    ax > 0, so with x1 < x2 the projection extremes are closed-form (no
+    GREATEST/LEAST). All products integer × dyadic — exact doubles."""
+    cx = f"(10 + ({nk} % 5) * 20)"
+    cy = f"(10 + (CAST(FLOOR({nk} / 5) AS BIGINT)) * 20)"
+    s = f"(1 + ({nk} % 2))"
+    conds = []
+    for ax, ay in _OCT_NORMALS:
+        assert ax > 0
+        rad = _oct_radius(ax, ay)
+        octc = f"({ax} * {cx} + {ay} * {cy})"
+        pmin = f"({ax} * ({x1}) + {ay} * ({y}))"
+        pmax = f"({ax} * ({x2}) + {ay} * ({y}))"
+        conds.append(
+            f"({pmax} > {octc} - {rad} * {s} AND {pmin} < {octc} + {rad} * {s})"
+        )
+    # the segment's own normal (0, 1): projection is the single value y
+    rad = _oct_radius(0, 1)
+    conds.append(
+        f"(({y}) > {cy} - {rad} * {s} AND ({y}) < {cy} + {rad} * {s})"
+    )
+    return "(" + " AND ".join(conds) + ")"
+
+
 def snapped_rect_corners_sql(pid: str, x: str, y: str) -> tuple[str, str, str, str]:
     """(x1, y1, x2, y2) SQL expressions of the INTEGER-SNAPPED event rect:
     lower-left = floor of the LCG point, extents 1+pid%3 × 1+pid%2. Integer

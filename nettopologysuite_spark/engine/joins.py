@@ -600,6 +600,7 @@ def _batched_pair_eval(pack: PolygonPack, predicate: str):
         batch_covers_rights,
         batch_interiors_intersect,
         batch_intersects,
+        batch_line_im_probes,
     )
     from ..kernels.geom import POINT, wkb_loads
     from ..kernels.pip import BOUNDARY
@@ -699,7 +700,27 @@ def _batched_pair_eval(pack: PolygonPack, predicate: str):
                                 ext_gb, hit, pr_pg
                             ) & ~batch_covers_right(ext_gb, hit, pg)
                     # crosses(areal, areal) ≡ False — nothing to set
-                    for i in idx[~purity]:
+                    # pure-LINE rows: overlaps/equalsTopo constant False
+                    # (dim rule); touches/crosses through the batched line
+                    # probes, scalar only for probe-ambiguous rows
+                    lmask = (
+                        ext_gb.pure_line[idx] if pr_pg.pure_poly
+                        else np.zeros(len(idx), dtype=bool)
+                    )
+                    vl = idx[lmask]
+                    amb_rows = np.zeros(0, dtype=np.int64)
+                    if len(vl) and predicate in ("touches", "crosses"):
+                        ii_l, ei_l, amb_l = batch_line_im_probes(
+                            ext_gb, vl, pr_pg
+                        )
+                        dec = ~amb_l
+                        if predicate == "touches":
+                            inter = batch_intersects(ext_gb, vl[dec], pr_pg)
+                            out[vl[dec]] = inter & ~ii_l[dec]
+                        else:
+                            out[vl[dec]] = ii_l[dec] & ei_l[dec]
+                        amb_rows = vl[amb_l]
+                    for i in np.concatenate([idx[~purity & ~lmask], amb_rows]):
                         if geoms_list[i] is not None:
                             out[i] = evaluate_predicate(predicate, pg, geoms_list[i])
                 else:
@@ -795,11 +816,15 @@ def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
     - ``equalstopo`` → covers(l,r) ∧ covers(r,l)
     - ``crosses``    → constant False for areal × areal (dim rule)
 
-    Mixed-dimension rows within such a batch, and ``exact_relate``,
-    evaluate per pair through the full relate-matrix kernel — they need
-    the complete dimension-classified matrix, and their join use is rare
-    enough that the (already envelope- and cell-filtered) survivor set
-    stays small.
+    Pure-LINE rows against a polygonal side batch as well: overlaps /
+    equalsTopo are constant False by the dimension rule, and touches /
+    crosses decide through the batched interior/exterior line probes
+    (``batch_line_im_probes``: vertex + proper-crossing + midpoint
+    evidence with an explicit ambiguity escape). Only probe-ambiguous
+    line rows (boundary-collinear / multi-contact segments),
+    GeometryCollection-mixed rows, and ``exact_relate`` evaluate per pair
+    through the full relate-matrix kernel — the (already envelope- and
+    cell-filtered) survivor set of those is tiny.
     """
     from ..kernels.batchgeom import (
         GeomBatch,
@@ -808,6 +833,7 @@ def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
         batch_covers_rights,
         batch_interiors_intersect,
         batch_intersects,
+        batch_line_im_probes,
     )
     from ..kernels.geom import wkb_loads
     from ..kernels.predicates import contains as p_contains
@@ -957,8 +983,35 @@ def pair_refine_udf(predicate: str = "intersects", exact_relate: bool = False):
                                 gb_left, lsel[hit], pr, geom_of=_lgeom,
                             )
                             out[vidx_[hit]] = not_cov
-                # scalar relate for mixed-dimension rows of this group
-                for i in np.flatnonzero(sel & ~vec):
+                # pure-LINE rows × polygonal right: the mixed-dimension
+                # DE-9IM pair — overlaps/equalsTopo are constant False by
+                # the dimension rule; touches = intersects ∧ ¬II and
+                # crosses = II ∧ EI decide through the batched line probes
+                # (kernels/batchgeom.py::batch_line_im_probes); only rows
+                # the probe pass marks ambiguous (multi-contact /
+                # boundary-collinear segments) reach the scalar kernel
+                vl = sel & gb_left.pure_line[lcodes] if pr.pure_poly \
+                    else np.zeros(n, dtype=bool)
+                vlidx = np.flatnonzero(vl)
+                escalate = np.zeros(0, dtype=np.int64)
+                if len(vlidx):
+                    llsel = lcodes[vlidx]
+                    if predicate in ("overlaps", "equalstopo", "equals"):
+                        pass  # dim(1) vs dim(2): constant False
+                    else:
+                        ii_l, ei_l, amb_l = batch_line_im_probes(
+                            gb_left, llsel, pr
+                        )
+                        dec = ~amb_l
+                        if predicate == "touches":
+                            inter = batch_intersects(gb_left, llsel[dec], pr)
+                            out[vlidx[dec]] = inter & ~ii_l[dec]
+                        else:  # crosses
+                            out[vlidx[dec]] = ii_l[dec] & ei_l[dec]
+                        escalate = vlidx[amb_l]
+                # scalar relate: mixed-dimension rows + ambiguous line rows
+                rest = np.flatnonzero(sel & ~vec & ~vl)
+                for i in np.concatenate([rest, escalate]):
                     out[i] = pair_eval(_lgeom(int(lcodes[i])), pr.geom)
         else:
             rgeoms = [wkb_loads(bytes(b)) for b in runiq]

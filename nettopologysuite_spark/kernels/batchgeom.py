@@ -73,12 +73,13 @@ class GeomBatch:
 
     __slots__ = ("n", "vx", "vy", "v_start", "sax", "say", "sbx", "sby",
                  "s_start", "pax", "pay", "pbx", "pby", "p_start", "p_leaf",
-                 "pure_poly")
+                 "pure_poly", "pure_line")
 
     def __init__(self, geoms: list[Geom | None]):
         n = len(geoms)
         self.n = n
         self.pure_poly = np.zeros(n, dtype=bool)
+        self.pure_line = np.zeros(n, dtype=bool)
         v_chunks: list[np.ndarray] = []
         s_a: list[np.ndarray] = []
         s_b: list[np.ndarray] = []
@@ -94,6 +95,7 @@ class GeomBatch:
             if g is not None and not g.is_empty:
                 leaves = g.flatten()
                 self.pure_poly[i] = all(l.gtype == POLYGON for l in leaves)
+                self.pure_line[i] = all(l.gtype == LINESTRING for l in leaves)
                 for leaf in leaves:
                     if leaf.gtype == POINT or leaf.gtype == LINESTRING:
                         c = leaf.coords
@@ -179,6 +181,7 @@ class GeomBatch:
             out.s_start = out.p_start = zi
             out.p_leaf = np.empty(0, dtype=np.int64)
             out.pure_poly = np.zeros(n, dtype=bool)
+            out.pure_line = np.zeros(n, dtype=bool)
             return out
         if gtype == LINESTRING and L >= 9 + 32 and (L - 9) % 16 == 0:
             npts = int.from_bytes(bytes(first[5:9]), "little")
@@ -212,12 +215,14 @@ class GeomBatch:
             out.p_start = out.s_start
             out.p_leaf = np.repeat(np.arange(n, dtype=np.int64), npts - 1)
             out.pure_poly = np.ones(n, dtype=bool)
+            out.pure_line = np.zeros(n, dtype=bool)
         else:
             z = np.empty(0, dtype=np.float64)
             out.pax = out.pay = out.pbx = out.pby = z
             out.p_start = np.zeros(n + 1, dtype=np.int64)
             out.p_leaf = np.empty(0, dtype=np.int64)
             out.pure_poly = np.zeros(n, dtype=bool)
+            out.pure_line = np.ones(n, dtype=bool)
         return out
 
 
@@ -1000,3 +1005,165 @@ def batch_distance2(
                 np.minimum.at(best, sowner, d2)
     res[sub] = best
     return res
+
+
+# ---------------------------------------------------------------------------
+# mixed-dimension DE-9IM probes: line rows × one polygonal left
+# ---------------------------------------------------------------------------
+
+def _seg_contact_counts(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    """Per a-segment: (#b-segments touched in ANY way, any collinear
+    overlap). The same case analysis as ``batch_intersects`` pass 3, kept
+    as a COUNT so callers can recognize multi-contact segments. Chunked."""
+    na, nb = len(ax1), len(bx1)
+    cnt = np.zeros(na, dtype=np.int64)
+    coll = np.zeros(na, dtype=bool)
+    if na == 0 or nb == 0:
+        return cnt, coll
+    step = max(1, _SEG_CHUNK // nb)
+    B1x = bx1[None, :]; B1y = by1[None, :]
+    B2x = bx2[None, :]; B2y = by2[None, :]
+    for s in range(0, na, step):
+        sl = slice(s, s + step)
+        A1x = ax1[sl][:, None]; A1y = ay1[sl][:, None]
+        A2x = ax2[sl][:, None]; A2y = ay2[sl][:, None]
+        d1 = (B2x - B1x) * (A1y - B1y) - (B2y - B1y) * (A1x - B1x)
+        d2 = (B2x - B1x) * (A2y - B1y) - (B2y - B1y) * (A2x - B1x)
+        d3 = (A2x - A1x) * (B1y - A1y) - (A2y - A1y) * (B1x - A1x)
+        d4 = (A2x - A1x) * (B2y - A1y) - (A2y - A1y) * (B2x - A1x)
+        t = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+            ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+        )
+        t |= (
+            (d1 == 0)
+            & (A1x >= np.minimum(B1x, B2x)) & (A1x <= np.maximum(B1x, B2x))
+            & (A1y >= np.minimum(B1y, B2y)) & (A1y <= np.maximum(B1y, B2y))
+        )
+        t |= (
+            (d2 == 0)
+            & (A2x >= np.minimum(B1x, B2x)) & (A2x <= np.maximum(B1x, B2x))
+            & (A2y >= np.minimum(B1y, B2y)) & (A2y <= np.maximum(B1y, B2y))
+        )
+        t |= (
+            (d3 == 0)
+            & (B1x >= np.minimum(A1x, A2x)) & (B1x <= np.maximum(A1x, A2x))
+            & (B1y >= np.minimum(A1y, A2y)) & (B1y <= np.maximum(A1y, A2y))
+        )
+        t |= (
+            (d4 == 0)
+            & (B2x >= np.minimum(A1x, A2x)) & (B2x <= np.maximum(A1x, A2x))
+            & (B2y >= np.minimum(A1y, A2y)) & (B2y <= np.maximum(A1y, A2y))
+        )
+        # collinear-and-overlapping: all four orientations zero with
+        # overlapping extents (the t test above already requires overlap
+        # for the d==0 cases; collinear is the subset with d1==d2==0)
+        c = (d1 == 0) & (d2 == 0) & t
+        cnt[sl] = t.sum(axis=1)
+        coll[sl] = c.any(axis=1)
+    return cnt, coll
+
+
+def batch_line_im_probes(
+    gb: GeomBatch,
+    rows: np.ndarray,
+    left: Geom | PreparedRight,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decisive DE-9IM evidence for LINE rows against ONE polygonal left —
+    the probes that decide touches / crosses for the poly × line dimension
+    pair without the per-pair relate kernel:
+
+      ii[k]    int(left) ∩ int(line_k) ≠ ∅, established
+      ei[k]    ext(left) ∩ int(line_k) ≠ ∅, established
+      amb[k]   the vectorized passes cannot CERTIFY a negative — the row
+               must fall back to the exact relate kernel
+
+    Evidence passes (whole-array):
+      1. line vertex strictly INTERIOR → ii; strictly EXTERIOR → ei
+         (an endpoint inside an OPEN set drags the adjacent open segment
+         in with it, so whole-vertex probes are valid for 1-D interiors)
+      2. strict proper crossing line-seg × ring-seg → ii AND ei (a proper
+         boundary crossing has interior on one side, exterior on the other)
+      3. segment midpoints: INTERIOR → ii, EXTERIOR → ei
+      4. negatives are certified only for rows where every segment contacts
+         at most ONE ring segment and none collinearly: with ≤ 1 boundary
+         contact and non-interior endpoints a segment cannot dip into (or
+         out of) the region unseen; multi-contact or collinear rows set
+         ``amb`` instead (the sub-segment-noding cases of
+         ``kernels/relate.py``).
+
+    Mirrors the evidence structure of ``batch_covers_rights`` /
+    ``batch_interiors_intersect`` (vertex + crossing + midpoint passes,
+    AbstractPreparedPolygonContains.cs:150-200) extended with the
+    explicit ambiguity escape so callers stay bit-exact.
+    """
+    from .pip import INTERIOR
+
+    pl = left if isinstance(left, PreparedRight) else PreparedRight(left)
+    n = len(rows)
+    ii = np.zeros(n, dtype=bool)
+    ei = np.zeros(n, dtype=bool)
+    amb = np.zeros(n, dtype=bool)
+    if n == 0:
+        return ii, ei, amb
+    if pl.empty or not pl.preps:
+        # no polygonal left: nothing interior; everything with length is
+        # exterior-side — callers shouldn't be here, mark ambiguous
+        amb[:] = True
+        return ii, ei, amb
+    rows = np.asarray(rows, dtype=np.int64)
+
+    def _locate_all(xs, ys):
+        loc_int = np.zeros(len(xs), dtype=bool)
+        loc_ext = np.ones(len(xs), dtype=bool)
+        for prep in pl.preps:
+            loc = prep.locate(xs, ys)
+            loc_int |= loc == INTERIOR
+            loc_ext &= loc == EXTERIOR
+        return loc_int, loc_ext
+
+    # ---- pass 1: vertices -------------------------------------------------
+    vcnt = gb.v_start[rows + 1] - gb.v_start[rows]
+    vidx, vowner = _ranges_concat(gb.v_start[rows], vcnt)
+    if len(vidx):
+        l_int, l_ext = _locate_all(gb.vx[vidx], gb.vy[vidx])
+        ii[vowner[l_int]] = True
+        ei[vowner[l_ext]] = True
+
+    # ---- pass 2: proper crossings -----------------------------------------
+    scnt = gb.s_start[rows + 1] - gb.s_start[rows]
+    sidx, sowner = _ranges_concat(gb.s_start[rows], scnt)
+    if len(sidx) and len(pl.pgax):
+        crossed = _proper_cross_per_seg(
+            gb.sax[sidx], gb.say[sidx], gb.sbx[sidx], gb.sby[sidx],
+            pl.pgax, pl.pgay, pl.pgbx, pl.pgby,
+        )
+        hit = np.unique(sowner[crossed])
+        ii[hit] = True
+        ei[hit] = True
+
+    # ---- pass 3: midpoints ------------------------------------------------
+    if len(sidx):
+        mx = (gb.sax[sidx] + gb.sbx[sidx]) * 0.5
+        my = (gb.say[sidx] + gb.sby[sidx]) * 0.5
+        m_int, m_ext = _locate_all(mx, my)
+        ii[sowner[m_int]] = True
+        ei[sowner[m_ext]] = True
+
+    # ---- pass 4: ambiguity for undecided negatives ------------------------
+    need = ~(ii & ei)
+    if need.any() and len(sidx) and len(pl.pgax):
+        nsub = np.flatnonzero(need)
+        in_need = np.isin(sowner, nsub)
+        cnt, coll = _seg_contact_counts(
+            gb.sax[sidx[in_need]], gb.say[sidx[in_need]],
+            gb.sbx[sidx[in_need]], gb.sby[sidx[in_need]],
+            pl.pgax, pl.pgay, pl.pgbx, pl.pgby,
+        )
+        risky = (cnt >= 2) | coll
+        amb[np.unique(sowner[in_need][risky])] = True
+        # zero-length degenerate rows (no segments at all but >1 vertices
+        # cannot happen for valid lines; a row with NO segments is a
+        # degenerate empty/point-like line): mark ambiguous
+    amb[(scnt == 0) & (vcnt > 0)] = True
+    amb &= ~(ii & ei)  # fully-decided rows never need escalation
+    return ii, ei, amb
