@@ -858,6 +858,16 @@ def q_geo_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan(pts, eps=0.5, min_pts=3)
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition markers (duplicate-word and top-bigram
+    fractions, exact integer ppm) — zero-shuffle: array_distinct + a
+    sorted-array fold inside one JVM projection."""
+    from nettopologysuite_spark.engine.text import doc_repetition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_repetition(docs)
+
+
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing into 256-token training chunks
     (two-level prefix sum — no global single-partition sort; native
@@ -943,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_dedup": q_window_dedup,
         "seq_pack": q_seq_pack,
         "geo_cluster": q_geo_cluster,
+        "doc_repetition": q_doc_repetition,
         "interval_join": q_interval_join,
         "asof_join": q_asof_join,
     }
@@ -1412,6 +1423,24 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "doc_quality": _doc_quality_oracle(),
         "simhash": _simhash_oracle(),
+        "doc_repetition": (
+            # duplicate-word and top-bigram fractions as exact integer ppm;
+            # DuckDB reproduces via unnest+group (different dataflow, same
+            # integers — floor of ratios whose distance to any integer
+            # exceeds double rounding error for n < 2^32)
+            "WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws "
+            "FROM documents), "
+            "base AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS d FROM w), "
+            "bg AS (SELECT doc_id, ws[i.i] || ' ' || ws[i.i + 1] AS b "
+            "FROM w JOIN generate_series(1, 1000) i(i) ON i.i <= len(ws) - 1), "
+            "tp AS (SELECT doc_id, MAX(c) AS mx FROM "
+            "(SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id) "
+            "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words, "
+            "CAST(CASE WHEN b.n > 0 THEN ((b.n - b.d) * 1000000) // b.n ELSE 0 END AS BIGINT) AS dup_word_ppm, "
+            "CAST(CASE WHEN b.n >= 2 THEN (COALESCE(t.mx, 0) * 1000000) // (b.n - 1) "
+            "ELSE 0 END AS BIGINT) AS top_bigram_ppm "
+            "FROM base b LEFT JOIN tp t USING (doc_id)"
+        ),
         "geo_cluster": (
             # eps = 0.5 (dyadic: /0.5 ≡ *2 exactly in IEEE), minPts = 3.
             # Same eps-grid candidate join as the engine, then transitive

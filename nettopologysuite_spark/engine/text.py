@@ -192,6 +192,65 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
     )
 
 
+def doc_repetition(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Repetition-quality markers in the Gopher / MassiveText style (Rae
+    et al. 2021, App. A quality heuristics): per document, the duplicate-
+    word fraction and the top-bigram fraction, as EXACT integer parts-per-
+    million (floor), so an external SQL engine reproduces them bit-for-bit.
+
+    Zero-shuffle design: both markers compute INSIDE one JVM row
+    projection — ``array_distinct`` for the duplicate-word count, and the
+    top-bigram multiplicity as the longest run of equal adjacent elements
+    in the SORTED bigram array, folded with a single ``aggregate`` lambda.
+    No explode, no groupBy: at 100 TB the marker pass is a pure map over
+    the corpus (the gram-explode formulation pays an n_tokens× row blowup
+    plus a shuffle for the same numbers).
+    """
+    t = F.trim(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n = F.size(words)
+    d = F.size(F.array_distinct(words))
+    dup_ppm = F.when(n > 0, ((n - d).cast("long") * F.lit(1000000))
+                     .cast("long") / n).otherwise(F.lit(0))
+    dup_ppm = F.floor(dup_ppm).cast("long")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sb = F.array_sort(bigrams)
+    best = F.aggregate(
+        sb,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    top_ppm = F.when(
+        n >= 2, F.floor(best.cast("long") * F.lit(1000000) / (n - 1))
+    ).otherwise(F.lit(0)).cast("long")
+    return docs.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        dup_ppm.alias("dup_word_ppm"),
+        top_ppm.alias("top_bigram_ppm"),
+    )
+
+
 def pack_sequences(docs: DataFrame, ctx_len: int = 256,
                    text_col: str = "text", id_col: str = "doc_id",
                    bucket_width: int = 4096) -> DataFrame:

@@ -448,3 +448,28 @@ def test_pack_sequences_plan_all_native(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_doc_repetition_markers(spark):
+    """Planted repetition structures produce the exact ppm markers; the
+    plan is a pure projection (no explode/exchange/Python)."""
+    from nettopologysuite_spark.engine.text import doc_repetition
+
+    rows = [
+        ("a", "x y x y x y"),            # 6 words, 2 distinct; bigram 'x y' x3 of 5
+        ("b", "all words here differ"),  # no repetition
+        ("c", "w w w w"),                # max repetition
+        ("d", ""),                       # empty
+        ("e", "solo"),                   # 1 word → no bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_words"], r["dup_word_ppm"], r["top_bigram_ppm"])
+           for r in doc_repetition(docs).collect()}
+    assert got["a"] == (6, (4 * 1000000) // 6, (3 * 1000000) // 5)
+    assert got["b"] == (4, 0, (1 * 1000000) // 3)
+    assert got["c"] == (4, (3 * 1000000) // 4, 1000000)
+    assert got["d"][1] == 0 and got["d"][2] == 0
+    assert got["e"] == (1, 0, 0)
+    plan = doc_repetition(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan \
+        and "Generate" not in plan
