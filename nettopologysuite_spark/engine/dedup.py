@@ -52,6 +52,11 @@ def char_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
             )
         ).alias("gram"),
     )
+    # NOTE (measured, sf0.1 A/B): an in-row ``array_distinct`` before the
+    # explode looks like it should beat this distinct SHUFFLE, but loses
+    # (4.15 s vs 5.03 s on the simhash pipeline) — the shuffle's map-side
+    # partial aggregation dedups most rows before the exchange while
+    # array_distinct serializes per-row set work on wide arrays.
     return out.distinct() if distinct else out
 
 
