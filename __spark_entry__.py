@@ -352,6 +352,35 @@ def q_seg_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("pid", "poly_id")
 
 
+def q_subdivide_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Subdivide (PostGIS analog) pipeline gate: densified octagons
+    (±513 vertices) split into ≤32-vertex pieces, exploded, re-measured —
+    per-polygon piece-area sums must reproduce the closed-form octagon
+    area EXACTLY after integer rounding (area conservation through the
+    halving clip)."""
+    from nettopologysuite_spark.functions.st_funcs import build_registry
+    from nettopologysuite_spark.kernels.densify import densify
+    from nettopologysuite_spark.kernels.geom import wkb_dumps
+
+    keys = _nation_keys(spark, sf_dir)
+    df = spark.createDataFrame(
+        [(f"oct-{k}",
+          bytearray(wkb_dumps(densify(derive.nation_octagon_geom(k), 0.1))))
+         for k in keys],
+        "poly_id string, wkb binary",
+    )
+    reg = build_registry()
+    pieces = df.select(
+        "poly_id",
+        F.explode(reg["ST_Subdivide"](F.col("wkb"), F.lit(32))).alias("piece"),
+    )
+    return (
+        pieces.select("poly_id", reg["ST_Area"](F.col("piece")).alias("a"))
+        .groupBy("poly_id")
+        .agg(F.round(F.sum("a")).cast("long").alias("area_i"))
+    )
+
+
 def q_poly_poly_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big×big TOUCHES join (DE-9IM boundary-only contact): integer-snapped
     event rectangles × nation rectangles — same native cell equi-join
@@ -922,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_poly_contains": q_poly_poly_contains,
         "poly_poly_touches": q_poly_poly_touches,
         "seg_cross_join": q_seg_cross_join,
+        "subdivide_area": q_subdivide_area,
         "within_dist_join_geom": q_within_dist_join_geom,
         "media_features": q_media_features,
         "knn_join_geom": q_knn_join_geom,
@@ -1250,6 +1280,14 @@ def oracle_sql() -> dict[str, str]:
             + derive.rect_in_octagon_sql_pred("p.x", "p.y", "p.w", "p.h", "n.n_nationkey")
         ),
         "poly_poly_touches": _touches_sql(),
+        "subdivide_area": (
+            # closed-form octagon area (template area 48 × scale²): the
+            # Spark side must conserve it exactly through densify →
+            # subdivide → explode → per-piece shoelace → sum → round
+            "SELECT 'oct-' || CAST(n_nationkey AS VARCHAR) AS poly_id, "
+            "CAST(48 * (1 + n_nationkey % 2) * (1 + n_nationkey % 2) AS BIGINT) "
+            "AS area_i FROM nation"
+        ),
         "seg_cross_join": (
             # crosses(octagon, horizontal segment), dim pair (2,1):
             # II ∧ EI. Convexity ⇒ EI ⟺ an endpoint strictly exterior

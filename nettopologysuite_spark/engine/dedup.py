@@ -352,15 +352,23 @@ def window_dedup(docs: DataFrame, k: int = 8, text_col: str = "text",
     bit-for-bit; hash collisions would merge windows identically in both
     engines.
     """
-    t = F.trim(F.col(text_col))
-    words = F.split(t, r"\s+")
+    # token array in its own projection (multi-referenced alias → no
+    # CollapseProject inlining → ONE split per row; a slice(words, i, k)
+    # inside the transform lambda re-ran the split per element — the
+    # higher-order O(n²) trap, see doc_repetition)
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"),
+    )
+    words = F.col("_ws")
     nw = F.size(words)
-    idx = F.when(
-        nw >= k, F.sequence(F.lit(1), nw - F.lit(k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    wins = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, F.lit(k))))
-    wh = docs.select(
-        F.col(id_col).alias("_id"), F.explode(wins).alias("win")
+    win_expr = " || ' ' || ".join(f"_ws[i + {j}]" for j in range(k))
+    wins = F.when(
+        nw >= k,
+        F.expr(f"transform(sequence(0, size(_ws) - {k}), i -> {win_expr})"),
+    ).otherwise(F.array().cast("array<string>"))
+    wh = toks.select(
+        "_id", F.explode(wins).alias("win")
     ).select(
         "_id",
         F.expr(

@@ -207,8 +207,16 @@ def doc_repetition(docs: DataFrame, text_col: str = "text",
     the corpus (the gram-explode formulation pays an n_tokens× row blowup
     plus a shuffle for the same numbers).
     """
-    t = F.trim(F.col(text_col))
-    words = F.split(t, r"\s+")
+    # the token array materializes in ITS OWN projection, referenced many
+    # times below — CollapseProject keeps multi-referenced non-cheap
+    # aliases, so split() runs once per row. Referencing the raw split
+    # expression inside a transform() lambda instead re-evaluates the
+    # split PER ELEMENT (measured 4.1 s vs 0.35 s for the bigram pass at
+    # sf0.1 — the classic higher-order-function O(n²) trap).
+    docs = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws")
+    )
+    words = F.col("_ws")
     n = F.size(words)
     d = F.size(F.array_distinct(words))
     dup_ppm = F.when(n > 0, ((n - d).cast("long") * F.lit(1000000))
@@ -216,11 +224,9 @@ def doc_repetition(docs: DataFrame, text_col: str = "text",
     dup_ppm = F.floor(dup_ppm).cast("long")
     bigrams = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
+        F.zip_with(
+            F.slice(words, 1, n - 1), F.slice(words, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     sb = F.array_sort(bigrams)

@@ -137,6 +137,22 @@ def build_registry() -> dict:
             out.append(None if g is None else wkb_dumps(k_buffer(g, float(d))))
         return pd.Series(out)
 
+    @pandas_udf("array<binary>")
+    def st_subdivide(wkb: pd.Series, max_vertices: pd.Series) -> pd.Series:
+        """PostGIS ST_Subdivide analog (set-returning → array; explode()
+        for rows): recursive halving clip until every piece has at most
+        max_vertices vertices — the pre-join splitter for oversized
+        polygons (kernels/clip.py::subdivide)."""
+        from ..kernels.clip import subdivide as k_subdivide
+
+        out = []
+        for g, mv in zip(_geoms(wkb), max_vertices):
+            if g is None:
+                out.append(None)
+            else:
+                out.append([wkb_dumps(p) for p in k_subdivide(g, int(mv))])
+        return pd.Series(out)
+
     @pandas_udf("binary")
     def st_buffer_style(wkb: pd.Series, dist: pd.Series, quad_segs: pd.Series,
                         end_cap: pd.Series, join: pd.Series,
@@ -703,6 +719,7 @@ def build_registry() -> dict:
         "ST_MakeValid": _unary_geom(k_fix),
         "ST_IsSimple": _unary_bool(k_is_simple),
         "ST_Buffer": st_buffer,
+        "ST_Subdivide": st_subdivide,
         "ST_BufferStyle": st_buffer_style,
         "ST_VariableBuffer": st_variable_buffer,
         "ST_Simplify": st_simplify,

@@ -193,3 +193,53 @@ def maybe_clip_inputs(ga: Geom, gb: Geom, op: str,
         else:
             out.append(g)
     return out[0], out[1]
+
+
+def _n_poly_vertices(g: Geom) -> int:
+    n = 0
+    for leaf in g.flatten():
+        if leaf.gtype == POLYGON:
+            for r in leaf.rings:
+                n += len(r)
+    return n
+
+
+def subdivide(g: Geom, max_vertices: int = 128) -> list[Geom]:
+    """PostGIS ``ST_Subdivide`` analog: recursively halve a polygonal
+    geometry along its envelope's longer axis (Sutherland–Hodgman clip to
+    each half, ``clip_ring``) until every piece carries at most
+    ``max_vertices`` vertices.
+
+    The use case is the same as PostGIS's: pre-split oversized polygons so
+    a distributed join's per-pair refine work is bounded — a
+    100k-vertex coastline polygon becomes many small pieces that each
+    land in few tiles and prepare cheaply (pairs with
+    ``kernels/adaptive.py``'s multi-level cover, which bounds the COVER
+    size the same way this bounds the VERTEX count).
+
+    Area is conserved exactly up to float rounding (pieces partition the
+    polygon; shared cut edges are traversed once in each piece).
+    ``max_vertices`` must be ≥ 8 (a clipped quadrant of a ring needs
+    headroom, mirroring PostGIS's ≥ 5 rule).
+    """
+    if max_vertices < 8:
+        raise ValueError("max_vertices must be >= 8")
+    out: list[Geom] = []
+    stack: list[tuple[Geom, int]] = [(g, 0)]
+    while stack:
+        p, depth = stack.pop()
+        if p.is_empty:
+            continue
+        if _n_poly_vertices(p) <= max_vertices or depth >= 32:
+            out.extend(leaf for leaf in p.flatten() if leaf.gtype == POLYGON)
+            continue
+        minx, miny, maxx, maxy = p.envelope()
+        if maxx - minx >= maxy - miny:
+            midx = (minx + maxx) / 2.0
+            halves = ((minx, miny, midx, maxy), (midx, miny, maxx, maxy))
+        else:
+            midy = (miny + maxy) / 2.0
+            halves = ((minx, miny, maxx, midy), (minx, midy, maxx, maxy))
+        for env in halves:
+            stack.append((clip_polygonal(p, np.asarray(env)), depth + 1))
+    return out

@@ -101,3 +101,51 @@ def test_difference_with_far_b_unaffected():
     b = sine_star(1000, 1000, 10, 64, 6, 0.3)
     got = overlay(a, b, DIFFERENCE)
     assert equals_normalized(got, _overlay_unclipped(a, b, DIFFERENCE))
+
+
+def test_subdivide_invariants():
+    """ST_Subdivide analog: piece vertex bound, area conservation, piece
+    containment in the original envelope, non-polygonal parts dropped."""
+    import numpy as np
+
+    from nettopologysuite_spark.engine.derive import nation_octagon_geom
+    from nettopologysuite_spark.kernels.clip import _n_poly_vertices, subdivide
+    from nettopologysuite_spark.kernels.densify import densify
+    from nettopologysuite_spark.kernels.measures import area
+
+    for nk in (0, 1, 7):
+        g = densify(nation_octagon_geom(nk), 0.1)
+        total = area(g)
+        pieces = subdivide(g, 32)
+        assert len(pieces) > 4
+        env = np.asarray(g.envelope())
+        for p in pieces:
+            assert _n_poly_vertices(p) <= 32
+            pe = np.asarray(p.envelope())
+            assert pe[0] >= env[0] - 1e-9 and pe[2] <= env[2] + 1e-9
+            assert pe[1] >= env[1] - 1e-9 and pe[3] <= env[3] + 1e-9
+        assert abs(sum(area(p) for p in pieces) - total) < 1e-9
+    # already-small polygon: returned unchanged (one piece)
+    g = nation_octagon_geom(0)
+    ps = subdivide(g, 32)
+    assert len(ps) == 1 and abs(area(ps[0]) - area(g)) == 0.0
+    # guard
+    import pytest
+
+    with pytest.raises(ValueError):
+        subdivide(g, 4)
+
+
+def test_subdivide_polygon_with_hole():
+    from nettopologysuite_spark.kernels.clip import subdivide
+    from nettopologysuite_spark.kernels.densify import densify
+    from nettopologysuite_spark.kernels.geom import wkt_loads
+    from nettopologysuite_spark.kernels.measures import area
+
+    g = densify(wkt_loads(
+        "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0),"
+        " (10 10, 30 10, 30 30, 10 30, 10 10))"), 0.5)
+    total = area(g)
+    pieces = subdivide(g, 24)
+    assert len(pieces) > 8
+    assert abs(sum(area(p) for p in pieces) - total) < 1e-8
