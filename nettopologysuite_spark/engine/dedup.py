@@ -500,13 +500,26 @@ def _cc_star(edges: DataFrame, max_iters: int = 40,
     Returns (node, label) with label = component minimum.
 
     ``precontract`` > 0 runs that many min-label propagation rounds first
-    and stars the contracted label-quotient graph (see
-    :func:`_cc_precontract`) — same output, measured ~2× on the dense
-    percolation graphs DBSCAN produces.
+    and RECURSIVELY stars the contracted label-quotient graph (see
+    :func:`_cc_precontract`): contraction repeats while the edge set keeps
+    shrinking geometrically (< 0.7×), so a dense percolation graph
+    collapses 660k → 29k → …  edges before the star loop pays its
+    per-cycle fixed costs on what remains. Same output (property-tested);
+    measured 16.1 → 10.2 s (one contraction) → 5.7 s (recursive) on the
+    sf0.1 DBSCAN core graph.
     """
     if precontract > 0:
         node_map, contracted = _cc_precontract(edges, rounds=precontract)
-        roots = _cc_star(contracted, max_iters=max_iters)
+        contracted = contracted.localCheckpoint(eager=True)
+        n_con = contracted.count()  # materialized by the checkpoint — cheap
+        if n_con == 0:
+            return node_map.select("node", F.col("l").alias("label"))
+        n_in = edges.count()
+        if n_con < 0.7 * n_in:
+            roots = _cc_star(contracted, max_iters=max_iters,
+                             precontract=precontract)
+        else:  # contraction stalled (already a local-min-free structure)
+            roots = _cc_star(contracted, max_iters=max_iters)
         return (
             node_map.join(
                 roots.select(F.col("node").alias("l"), "label"), "l", "left"
