@@ -4,6 +4,7 @@ from .tile_stream import (  # noqa: F401
     run_updates_to_parquet,
     stream_cell_envelopes,
     stream_dedup_docs,
+    stream_near_dedup,
     stream_pip_join,
     stream_stream_tile_join,
     stream_tile_assign,

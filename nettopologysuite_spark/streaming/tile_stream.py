@@ -328,3 +328,62 @@ def stream_pip_join(
     return cand.filter(
         pip_refine_udf(pack, predicate)(F.col(x), F.col(y), F.col("poly_id"))
     )
+
+
+def stream_near_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    schema: StructType | str,
+    ts: str = "ts",
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: the first document of each
+    MinHash-LSH bucket within the watermark horizon passes; later
+    bucket-mates (near-duplicates) are suppressed.
+
+    The signature is computed STATELESSLY in-row — word-bigram shingles via
+    zip_with over two token-array slices, Kirsch–Mitzenmacher double
+    hashing (two xxhash64 bases + i·h2 adds, exactly the batch
+    ``minhash_lsh_pairs`` functions), ``array_min`` per function — so the
+    only stateful operator is the built-in watermark-bounded dedup on the
+    single-band bucket key. Single-band identity is the streaming
+    trade: recall tunes with ``num_hashes`` (all r rows must match), and
+    the batch multi-band + exact-verify pipeline remains the offline
+    sweep; state is one entry per distinct bucket inside the watermark —
+    bounded regardless of stream length.
+    """
+    P = (1 << 31) - 1
+    src = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("_ws", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .withColumn(
+            "_grams",
+            F.when(
+                F.size("_ws") >= 2,
+                F.zip_with(
+                    F.slice(F.col("_ws"), 1, F.size("_ws") - 1),
+                    F.slice(F.col("_ws"), 2, F.size("_ws") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array(F.array_join(F.col("_ws"), " "))),
+        )
+        .withColumn("_h1", F.transform(F.col("_grams"),
+                                       lambda g: F.pmod(F.xxhash64(g), F.lit(P))))
+        .withColumn("_h2", F.transform(F.col("_grams"),
+                                       lambda g: F.pmod(F.xxhash64(F.lit(1), g), F.lit(P))))
+    )
+    sig_cols = [
+        F.array_min(
+            F.zip_with(
+                F.col("_h1"), F.col("_h2"),
+                lambda a, b: F.pmod(a + F.lit(i) * b, F.lit(P)),
+            )
+        )
+        for i in range(num_hashes)
+    ]
+    src = src.withColumn("_bucket", F.xxhash64(*sig_cols)).withWatermark(ts, watermark)
+    return src.dropDuplicatesWithinWatermark(["_bucket"]).drop(
+        "_ws", "_grams", "_h1", "_h2", "_bucket"
+    )

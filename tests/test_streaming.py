@@ -324,3 +324,78 @@ def test_stream_pip_join_matches_batch(spark, tmp_path):
     # (10, 10) is nation 0's octagon center → every delta row enriches
     assert new_pids == {1000 + i for i in range(20)}
     assert final.count() == len(stream_pairs) + 20
+
+
+def test_stream_near_dedup_suppresses_near_duplicates(spark, tmp_path):
+    """Single-band MinHash bucket dedup: identical bigram sets collapse
+    (regardless of word multiplicity/order-preserving repetition), distinct
+    content passes; first occurrence wins."""
+    from nettopologysuite_spark.streaming import stream_near_dedup
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    rows = [
+        (1, _t(0), "the quick brown fox jumps"),
+        (2, _t(0, 30), "a completely different document body"),
+        # identical bigram SET (signature is set-based, multiplicity-blind:
+        # an exact content repeat lands in the same bucket)
+        (3, _t(1), "the quick brown fox jumps"),
+        (4, _t(1, 30), "yet another novel text entirely"),
+        (5, _t(2), "a completely different document body"),
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    got = run_available_now(
+        stream_near_dedup(spark, src, DOC_SCHEMA), ck, output_mode="append"
+    )
+    keep = {r.text: r.doc_id for r in got}
+    assert sorted(keep) == [
+        "a completely different document body",
+        "the quick brown fox jumps",
+        "yet another novel text entirely",
+    ]
+    assert keep["the quick brown fox jumps"] == 1
+    assert keep["a completely different document body"] == 2
+
+
+def test_stream_near_dedup_matches_batch_buckets(spark, tmp_path):
+    """Batch-equivalence: the streaming survivors are exactly the batch
+    first-per-bucket selection with the SAME signature expressions."""
+    from pyspark.sql import functions as F
+
+    from nettopologysuite_spark.streaming import stream_near_dedup
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    import random
+
+    rng = random.Random(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = []
+    for i in range(60):
+        base = [vocab[rng.randrange(len(vocab))] for _ in range(6)]
+        rows.append((i, _t(i // 10, i % 10), " ".join(base)))
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    got = {r.doc_id for r in run_available_now(
+        stream_near_dedup(spark, src, DOC_SCHEMA), ck, output_mode="append")}
+
+    # batch twin
+    P = (1 << 31) - 1
+    df = (
+        spark.read.parquet(src)
+        .withColumn("_ws", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("_grams", F.zip_with(
+            F.slice(F.col("_ws"), 1, F.size("_ws") - 1),
+            F.slice(F.col("_ws"), 2, F.size("_ws") - 1),
+            lambda a, b: F.concat_ws(" ", a, b)))
+        .withColumn("_h1", F.transform(F.col("_grams"), lambda g: F.pmod(F.xxhash64(g), F.lit(P))))
+        .withColumn("_h2", F.transform(F.col("_grams"), lambda g: F.pmod(F.xxhash64(F.lit(1), g), F.lit(P))))
+    )
+    sig_cols = [F.array_min(F.zip_with(F.col("_h1"), F.col("_h2"),
+                lambda a, b: F.pmod(a + F.lit(i) * b, F.lit(P)))) for i in range(16)]
+    df = df.withColumn("_bucket", F.xxhash64(*sig_cols))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_bucket").orderBy("ts", "doc_id")
+    want = {r.doc_id for r in df.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1").collect()}
+    assert got == want
