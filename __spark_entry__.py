@@ -706,6 +706,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, ANN_NQ, ANN_K)
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN GRAPH over the whole embedding table (SemDeDup / graph-cluster
+    primitive): every vector's top-5 LSH-bucket candidates by exact
+    quantized cosine — bucket self-join on bare ids, arrays join back
+    once."""
+    from nettopologysuite_spark.engine.ann import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_graph(emb, k=5)
+
+
 def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucket self-join candidates +
     exact quantized-cosine threshold (the embedding analog of minhash_lsh)."""
@@ -970,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "knn_embedding": q_knn_embedding,
         "ann_lsh": q_ann_lsh,
+        "knn_graph": q_knn_graph,
         "embed_dedup": q_embed_dedup,
         "union_area": q_union_area,
         "zonal_stats": q_zonal_stats,
@@ -1174,6 +1186,12 @@ def _ann_oracle() -> str:
     from nettopologysuite_spark.engine.ann import ann_lsh_oracle_sql
 
     return ann_lsh_oracle_sql(ANN_NQ, ANN_K)
+
+
+def _knn_graph_oracle() -> str:
+    from nettopologysuite_spark.engine.ann import knn_graph_oracle_sql
+
+    return knn_graph_oracle_sql(5)
 
 
 def _embed_project_oracle() -> str:
@@ -1542,6 +1560,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN tot USING(doc_id) LEFT JOIN fl USING(doc_id)"
         ),
         "ann_lsh": _ann_oracle(),
+        "knn_graph": _knn_graph_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "embed_project": _embed_project_oracle(),
         "hull_agg": _hull_agg_oracle(),

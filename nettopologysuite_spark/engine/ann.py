@@ -523,3 +523,94 @@ def project_oracle_sql(out_dim: int = PROJ_DIM) -> str:
         "SELECT vec_id, CAST(i.i AS INT) AS comp, proj[i.i + 1] AS value "
         f"FROM p JOIN generate_series(0, {out_dim - 1}) i(i) ON TRUE"
     )
+
+
+def knn_graph(emb: DataFrame, k: int, id_col: str = "vec_id",
+              emb_col: str = "embedding") -> DataFrame:
+    """kNN GRAPH over the whole embedding table — every vector's top-k
+    most-similar LSH-bucket candidates by exact quantized cosine, the
+    primitive under SemDeDup-style semantic dedup and kNN-graph
+    clustering. Returns (q_id, rank, nbr_id, sim).
+
+    Scale shape (the ``embed_cosine_dedup`` candidate dataflow + the
+    ``ann_lsh_topk`` re-rank): one JVM signature pass, candidate
+    generation as a bucket SELF-join on BARE IDS (embedding arrays never
+    shuffle during candidate generation), per-row quantized arrays and
+    norms computed once and joined back by id, dense top-k window per
+    query. Candidacy is LSH-approximate exactly as ``ann_lsh_topk``
+    (recall floor pytest-pinned there); the SQL oracle mirrors the same
+    candidacy, so results are bit-reproducible.
+    """
+    planes = hyperplanes()
+    sig = emb.select(F.col(id_col), *_sig_cols(emb_col, planes))
+    buckets = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("val"))
+            for b in range(BANDS)
+        ])).alias("bk"),
+    ).select(id_col, "bk.band", "bk.val")
+    right = buckets.select(F.col(id_col).alias("nbr_id"), "band", "val")
+    pairs = (
+        buckets.join(right, ["band", "val"])
+        .filter(F.col(id_col) != F.col("nbr_id"))
+        .select(F.col(id_col).alias("q_id"), "nbr_id")
+        .distinct()
+    )
+    qe = f"transform({emb_col}, x -> floor(CAST(x AS DOUBLE) * 1024D))"
+    qv = emb.select(
+        F.col(id_col),
+        F.expr(qe).alias("qv"),
+        F.expr(f"sqrt(aggregate({qe}, 0D, (a, v) -> a + v * v))").alias("nrm"),
+    )
+    scored = (
+        pairs
+        .join(qv.select(F.col(id_col).alias("q_id"), F.col("qv").alias("v1"),
+                        F.col("nrm").alias("n1")), "q_id")
+        .join(qv.select(F.col(id_col).alias("nbr_id"), F.col("qv").alias("v2"),
+                        F.col("nrm").alias("n2")), "nbr_id")
+        .withColumn("sim", F.expr(
+            "aggregate(zip_with(v1, v2, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+            " / (n1 * n2)"
+        ))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(),
+                                           F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "nbr_id", "sim")
+    )
+
+
+def knn_graph_oracle_sql(k: int) -> str:
+    """The identical kNN-graph definition in ANSI SQL (DuckDB)."""
+    e_bands = _sig_sql_exprs(hyperplanes(), BANDS, "e")
+    return (
+        "WITH s AS (SELECT e.vec_id, e.embedding, "
+        + ", ".join(f"{e_bands[b]} AS band{b}" for b in range(BANDS))
+        + " FROM embeddings e), "
+        "bk AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, embedding, {b} AS band, band{b} AS val FROM s"
+            for b in range(BANDS)
+        )
+        + "), "
+        "cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS nbr_id, "
+        "a.embedding AS q_emb, b.embedding AS n_emb FROM bk a JOIN bk b "
+        "ON a.band = b.band AND a.val = b.val AND a.vec_id <> b.vec_id), "
+        "scored AS (SELECT q_id, nbr_id, "
+        "  list_sum(list_transform(list_zip("
+        "    list_transform(q_emb, x -> floor(CAST(x AS DOUBLE) * 1024)), "
+        "    list_transform(n_emb, x -> floor(CAST(x AS DOUBLE) * 1024))), "
+        "    p -> p[1] * p[2])) "
+        "  / (sqrt(list_sum(list_transform(q_emb, x -> floor(CAST(x AS DOUBLE) * 1024) * floor(CAST(x AS DOUBLE) * 1024)))) "
+        "   * sqrt(list_sum(list_transform(n_emb, x -> floor(CAST(x AS DOUBLE) * 1024) * floor(CAST(x AS DOUBLE) * 1024))))) AS sim "
+        "FROM cand) "
+        f"SELECT q_id, rank, nbr_id, sim FROM ("
+        f"SELECT q_id, nbr_id, sim, ROW_NUMBER() OVER ("
+        f"PARTITION BY q_id ORDER BY sim DESC, nbr_id ASC) AS rank FROM scored) t "
+        f"WHERE rank <= {k}"
+    )

@@ -162,3 +162,35 @@ def test_embed_project_plan_and_distortion(spark, sf_dir):
     a = {(r.vec_id, r.comp): r.value for r in rows}
     b = {(r.vec_id, r.comp): r.value for r in project_embeddings(emb).collect()}
     assert a == b
+
+
+def test_knn_graph_planted_twins_and_shape(spark, sf_dir):
+    """Every vector gets ≤ k ranked neighbors; a planted exact twin is its
+    partner's rank-1 neighbor at sim ≈ 1; ranks are dense from 1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from nettopologysuite_spark.engine.ann import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    base = emb.select("vec_id", "embedding").collect()
+    twin_src = base[7]
+    twin = [(100000, twin_src["embedding"])]
+    df = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in base] + twin,
+        "vec_id long, embedding array<float>",
+    )
+    out = knn_graph(df, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["nbr_id"], r["sim"]))
+    for q, rows in by_q.items():
+        ranks = sorted(r[0] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+    # identical vectors share every band → guaranteed candidates
+    top_twin = min(by_q[100000])
+    assert top_twin[1] == twin_src["vec_id"]
+    assert abs(top_twin[2] - 1.0) < 1e-9
+    top_src = min(by_q[twin_src["vec_id"]])
+    assert top_src[1] == 100000
