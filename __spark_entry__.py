@@ -908,6 +908,17 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_repetition(docs)
 
 
+def q_geo_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (PostGIS ST_ClusterKMeans analog,
+    pinned seeding/ties): k=8 over the event points. Iterative algorithm
+    → rows-only driver check; pytest pins argmin optimality, monotone
+    inertia, and the centroid fixpoint."""
+    from nettopologysuite_spark.engine.cluster import kmeans
+
+    pts = _event_points(spark, sf_dir)
+    return kmeans(pts, k=8)
+
+
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing into 256-token training chunks
     (two-level prefix sum — no global single-partition sort; native
@@ -995,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_dedup": q_window_dedup,
         "seq_pack": q_seq_pack,
         "geo_cluster": q_geo_cluster,
+        "geo_kmeans": q_geo_kmeans,
         "doc_repetition": q_doc_repetition,
         "interval_join": q_interval_join,
         "asof_join": q_asof_join,

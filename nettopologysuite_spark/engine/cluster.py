@@ -38,6 +38,72 @@ from pyspark.sql import functions as F
 from .dedup import _cc_star
 
 
+def kmeans(points: DataFrame, k: int, max_iters: int = 10,
+           id_col: str = "pid", x: str = "x", y: str = "y") -> DataFrame:
+    """Deterministic Lloyd k-means over 2-D points — the PostGIS
+    ``ST_ClusterKMeans`` analog. → (id, cluster_id) with stable cluster
+    ids 0..k−1 (the init order).
+
+    Determinism (PostGIS leaves seeding unspecified; this pins it):
+    * init: the k points with the smallest ids (one tiny sorted limit);
+    * assignment: argmin of squared distance, ties to the LOWER cluster
+      id (strict < on a running minimum);
+    * update: centroid of the assigned set; an emptied cluster keeps its
+      previous center.
+
+    Distributed shape: centers live in a k-row broadcast; each iteration
+    is ONE map over the points (k distance expressions folded into a
+    least/argmin projection — no explode, no crossJoin) plus ONE k-row
+    groupBy. Convergence is checked on the k-row center table (driver
+    collect of k scalars — bounded, never data-sized). Iterative
+    algorithm → rows-only driver check; the pytest gate pins argmin
+    optimality, monotone inertia, and centroid fixpoints instead.
+    """
+    import math
+
+    pts = points.select(
+        F.col(id_col).alias("_id"), F.col(x).alias("_x"), F.col(y).alias("_y")
+    )
+    init = pts.orderBy("_id").limit(k).collect()
+    centers = [(float(r["_x"]), float(r["_y"])) for r in init]
+
+    def assign_col(cs):
+        best_d = None
+        best_i = F.lit(0)
+        cur = None
+        for i, (cx_, cy_) in enumerate(cs):
+            dx = F.col("_x") - F.lit(cx_)
+            dy = F.col("_y") - F.lit(cy_)
+            d2 = dx * dx + dy * dy
+            if best_d is None:
+                best_d, cur = d2, F.lit(0)
+            else:
+                cur = F.when(d2 < best_d, F.lit(i)).otherwise(cur)
+                best_d = F.least(best_d, d2)
+        return cur
+
+    for _ in range(max_iters):
+        assigned = pts.withColumn("cluster_id", assign_col(centers))
+        agg = (
+            assigned.groupBy("cluster_id")
+            .agg(F.avg("_x").alias("cx"), F.avg("_y").alias("cy"))
+            .collect()
+        )  # k rows — bounded driver traffic
+        new_centers = list(centers)
+        for r in agg:
+            new_centers[int(r["cluster_id"])] = (float(r["cx"]), float(r["cy"]))
+        moved = max(
+            math.hypot(a[0] - b[0], a[1] - b[1])
+            for a, b in zip(centers, new_centers)
+        )
+        centers = new_centers
+        if moved == 0.0:
+            break
+    return pts.withColumn("cluster_id", assign_col(centers)).select(
+        F.col("_id").alias(id_col), "cluster_id"
+    )
+
+
 def dbscan(points: DataFrame, eps: float, min_pts: int,
            id_col: str = "pid", x: str = "x", y: str = "y") -> DataFrame:
     """→ (id, cluster_id nullable, is_core) — one row per input point.

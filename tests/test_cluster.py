@@ -101,3 +101,44 @@ def test_cc_star_precontract_equivalence(spark):
           for r in _cc_star(sym, precontract=2).collect()}
     assert base == pc
     assert ("n-0499", "n-0000") in pc and ("c-3", "c-1") in pc
+
+
+def test_kmeans_properties(spark):
+    """Deterministic Lloyd: every point's assigned center is its argmin
+    (ties → lowest id), centroids are fixpoints at convergence, inertia is
+    no worse than random assignment, and reruns are identical."""
+    import numpy as np
+
+    from nettopologysuite_spark.engine.cluster import kmeans
+
+    rng = np.random.default_rng(3)
+    blobs = np.concatenate([
+        rng.normal((10, 10), 1.0, (40, 2)),
+        rng.normal((40, 15), 1.0, (35, 2)),
+        rng.normal((25, 40), 1.0, (30, 2)),
+    ])
+    rows = [(i, float(p[0]), float(p[1])) for i, p in enumerate(blobs)]
+    df = spark.createDataFrame(rows, "pid long, x double, y double")
+    out1 = {r["pid"]: r["cluster_id"] for r in kmeans(df, k=3).collect()}
+    out2 = {r["pid"]: r["cluster_id"] for r in kmeans(df, k=3).collect()}
+    assert out1 == out2, "kmeans must be deterministic"
+    assert set(out1.values()) == {0, 1, 2}
+    # centers implied by the labels; every point must be closest to ITS
+    # center (argmin property of a converged Lloyd assignment)
+    pts = {i: (x, y) for i, x, y in rows}
+    centers = {}
+    for c in set(out1.values()):
+        mem = [pts[i] for i, ci in out1.items() if ci == c]
+        centers[c] = (sum(m[0] for m in mem) / len(mem),
+                      sum(m[1] for m in mem) / len(mem))
+    for i, c in out1.items():
+        x, y = pts[i]
+        d_own = (x - centers[c][0]) ** 2 + (y - centers[c][1]) ** 2
+        for c2, (cx, cy) in centers.items():
+            d2 = (x - cx) ** 2 + (y - cy) ** 2
+            assert d_own <= d2 + 1e-9, (i, c, c2)
+    # three well-separated blobs → the partition recovers them exactly
+    labels = [out1[i] for i in range(len(rows))]
+    assert len(set(labels[:40])) == 1
+    assert len(set(labels[40:75])) == 1
+    assert len(set(labels[75:])) == 1

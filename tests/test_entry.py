@@ -29,7 +29,11 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"doc_id", "poly_id"}
 
 
-ROWS_ONLY: set[str] = set()  # every query now has a DuckDB oracle
+# Queries with a documented rows-only driver check (no DuckDB oracle):
+# geo_kmeans is an ITERATIVE algorithm (Lloyd) — per the driver contract
+# those may omit oracle_sql(); its pytest gate pins argmin optimality,
+# monotone inertia, and the centroid fixpoint instead.
+ROWS_ONLY: set[str] = {"geo_kmeans"}
 
 
 def test_queries_have_oracles_or_documented_skip():
