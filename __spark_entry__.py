@@ -760,6 +760,27 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(px, pack, GRID)
 
 
+def q_raster_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster → vector polygonize (gdal_polygonize / ST_DumpAsPolygons
+    analog): equal-value 4-connected pixel regions become polygons via
+    star-CC labels + two-level coverage union. geom_area re-measures the
+    ASSEMBLED polygon with the shoelace kernel — the oracle's closed-form
+    region area must survive the whole geometry pipeline."""
+    from nettopologysuite_spark.engine.zonal import (
+        raster_polygonize,
+        synthetic_striped_raster,
+    )
+    from nettopologysuite_spark.functions.st_funcs import build_registry
+
+    px = synthetic_striped_raster(spark, n=128)
+    out = raster_polygonize(px, n=128)
+    reg = build_registry()
+    return out.select(
+        "region_id", "value", "n_pixels", "area",
+        reg["ST_Area"](F.col("geom_wkb")).alias("geom_area"),
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nettopologysuite_spark.engine.dedup import blocked_pairs, ngram_jaccard_pairs
 
@@ -1007,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "geo_cluster": q_geo_cluster,
         "geo_kmeans": q_geo_kmeans,
+        "raster_polygonize": q_raster_polygonize,
         "doc_repetition": q_doc_repetition,
         "interval_join": q_interval_join,
         "asof_join": q_asof_join,
@@ -1491,6 +1513,23 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "doc_quality": _doc_quality_oracle(),
         "simhash": _simhash_oracle(),
+        "raster_polygonize": (
+            # closed-form regions of the striped synthetic raster:
+            # 16-wide × 64-tall rectangles; region_id = top-left pixel id;
+            # area twice (counted and geometric) — both exact dyadic
+            "WITH px AS (SELECT (i % 128) AS ix, (i // 128) AS iy "
+            "FROM generate_series(0, 16383) t(i)), "
+            "r AS (SELECT ix, iy, "
+            "CAST((ix // 16) % 3 + 3 * (iy // 64) AS BIGINT) AS value, "
+            "CAST(((iy // 64) * 64) * 128 + ((ix // 16) * 16) AS BIGINT) AS region_id "
+            "FROM px) "
+            "SELECT region_id, value, COUNT(*) AS n_pixels, "
+            "COUNT(*) * (CAST(100 AS DOUBLE) / CAST(128 AS DOUBLE)) "
+            "* (CAST(100 AS DOUBLE) / CAST(128 AS DOUBLE)) AS area, "
+            "COUNT(*) * (CAST(100 AS DOUBLE) / CAST(128 AS DOUBLE)) "
+            "* (CAST(100 AS DOUBLE) / CAST(128 AS DOUBLE)) AS geom_area "
+            "FROM r GROUP BY region_id, value"
+        ),
         "doc_repetition": (
             # duplicate-word and top-bigram fractions as exact integer ppm;
             # DuckDB reproduces via unnest+group (different dataflow, same

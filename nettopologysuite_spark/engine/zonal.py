@@ -42,3 +42,124 @@ def zonal_stats(
         F.sum("value").alias("sum_v"),
         (F.sum("value") / F.count("*")).alias("mean_v"),
     )
+
+
+def synthetic_striped_raster(spark: SparkSession, n: int = 128,
+                             extent: float = 100.0) -> DataFrame:
+    """n×n pixel grid whose value field forms 16-wide × 64-tall rectangular
+    regions (value = (ix//16) % 3 + 3·(iy//64)): adjacent regions always
+    differ, while NON-adjacent stripes repeat values — so a correct
+    polygonizer must keep equal-valued disjoint regions apart, and a
+    region spans 64 rows (connected-components must propagate, not just
+    group). Pure integer/dyadic arithmetic → closed-form oracle."""
+    w = extent / n
+    ix = (F.col("id") % n).cast("long")
+    iy = F.floor(F.col("id") / n).cast("long")
+    return spark.range(n * n).select(
+        ix.alias("ix"), iy.alias("iy"),
+        ((ix + 0.5) * F.lit(w)).alias("x"),
+        ((iy + 0.5) * F.lit(w)).alias("y"),
+        (F.pmod(F.floor(ix / 16), F.lit(3)) + 3 * F.floor(iy / 64))
+        .cast("long").alias("value"),
+    )
+
+
+def raster_polygonize(pixels: DataFrame, n: int, extent: float = 100.0,
+                      tile_shift: int = 4) -> DataFrame:
+    """Raster → vector polygonize (the GDAL ``gdal_polygonize`` / PostGIS
+    ``ST_DumpAsPolygons`` direction — closes the raster↔vector loop the
+    zonal join opens): connected regions of equal-valued pixels
+    (4-adjacency) become polygons.
+
+    → (region_id, value, n_pixels, area, geom_wkb) with region_id = min
+    pixel id (iy·n + ix) in the region.
+
+    Scale shape: adjacency edges from two native equi-self-joins (right
+    and up neighbors, join keys precomputed columns); region labels via
+    the star connected-components dataflow with local precontraction
+    (``dedup._cc_star``); geometry via a TWO-LEVEL coverage union — pixel
+    squares union per (region, 2^tile_shift-square tile) first, partials
+    union per region second. ``coverage_union`` removes only duplicated
+    edges and never merges collinear segments, so tile partials stay
+    exactly noded against each other — the second level is again a valid
+    coverage. Task input is bounded by tile size at level 1 and by the
+    region's TILE count (not pixel count) at level 2.
+    """
+    import pandas as pd
+
+    from ..kernels.coverage import coverage_union
+    from ..kernels.geom import Geom, POLYGON, wkb_dumps, wkb_loads
+    from .dedup import _cc_star
+
+    w = extent / n
+    base = pixels.select(
+        (F.col("iy") * n + F.col("ix")).alias("pid"),
+        F.col("ix").cast("long").alias("ix"),
+        F.col("iy").cast("long").alias("iy"),
+        F.col("value"),
+    )
+    right = base.select(
+        F.col("pid").alias("b"), F.col("ix").alias("jx"),
+        F.col("iy").alias("jy"), F.col("value").alias("v2"),
+    )
+    e_right = (
+        base.withColumn("jx", F.col("ix") + 1).withColumn("jy", F.col("iy"))
+        .join(right, ["jx", "jy"])
+        .filter(F.col("value") == F.col("v2"))
+        .select(F.col("pid").alias("a"), "b")
+    )
+    e_up = (
+        base.withColumn("jx", F.col("ix")).withColumn("jy", F.col("iy") + 1)
+        .join(right, ["jx", "jy"])
+        .filter(F.col("value") == F.col("v2"))
+        .select(F.col("pid").alias("a"), "b")
+    )
+    edges = e_right.union(e_up)
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    lab = _cc_star(sym, precontract=2).withColumnRenamed("node", "pid")
+    reg = base.join(lab, "pid", "left").withColumn(
+        "region_id", F.coalesce(F.col("label"), F.col("pid"))
+    )
+    stats = reg.groupBy("region_id", "value").agg(
+        F.count(F.lit(1)).alias("n_pixels"),
+        (F.count(F.lit(1)) * F.lit(w * w)).alias("area"),
+    )
+
+    def _square(ix: int, iy: int) -> Geom:
+        import numpy as np
+
+        x0, y0 = ix * w, iy * w
+        ring = np.array([
+            (x0, y0), (x0 + w, y0), (x0 + w, y0 + w), (x0, y0 + w), (x0, y0),
+        ], dtype=np.float64)
+        return Geom(POLYGON, rings=[ring])
+
+    def tile_partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        squares = [_square(int(r.ix), int(r.iy)) for r in pdf.itertuples()]
+        return pd.DataFrame({
+            "region_id": [key[0]],
+            "w": [wkb_dumps(coverage_union(squares))],
+        })
+
+    tiled = reg.withColumn(
+        "tile",
+        (F.shiftright(F.col("iy"), tile_shift) * (n >> tile_shift)
+         + F.shiftright(F.col("ix"), tile_shift)),
+    )
+    partials = tiled.groupBy("region_id", "tile").applyInPandas(
+        tile_partial, "region_id long, w binary"
+    )
+
+    def region_final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [wkb_loads(bytes(b)) for b in pdf["w"]]
+        return pd.DataFrame({
+            "region_id": [key[0]],
+            "geom_wkb": [wkb_dumps(coverage_union(parts))],
+        })
+
+    geoms = partials.groupBy("region_id").applyInPandas(
+        region_final, "region_id long, geom_wkb binary"
+    )
+    return stats.join(geoms, "region_id")

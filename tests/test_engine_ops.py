@@ -473,3 +473,42 @@ def test_doc_repetition_markers(spark):
     plan = doc_repetition(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan \
         and "Generate" not in plan
+
+
+def test_raster_polygonize_shapes_and_holes(spark):
+    """Irregular regions: a donut (region with a hole), the enclosed
+    island, and two same-value DISJOINT regions that must not merge."""
+    from nettopologysuite_spark.engine.zonal import raster_polygonize
+    from nettopologysuite_spark.kernels.geom import wkb_loads
+    from nettopologysuite_spark.kernels.measures import area as karea
+    from pyspark.sql import functions as F
+
+    n = 16
+    w = 100.0 / n
+    # value grid: ring of 9s around a 7-island at (4..6, 4..6); background 0;
+    # plus a second detached 9-square at (12..13, 12..13)
+    rows = []
+    for iy in range(n):
+        for ix in range(n):
+            v = 0
+            if 3 <= ix <= 7 and 3 <= iy <= 7:
+                v = 9
+            if 4 <= ix <= 6 and 4 <= iy <= 6:
+                v = 7
+            if 12 <= ix <= 13 and 12 <= iy <= 13:
+                v = 9
+            rows.append((ix, iy, v))
+    px = spark.createDataFrame(rows, "ix long, iy long, value long")
+    out = {r["region_id"]: r for r in raster_polygonize(px, n=n).collect()}
+    assert len(out) == 4  # background, ring, island, detached square
+    by_np = sorted((r["n_pixels"], r["value"]) for r in out.values())
+    ring_px = 25 - 9
+    assert by_np == sorted([
+        (n * n - 25 - 4, 0), (ring_px, 9), (9, 7), (4, 9)])
+    for r in out.values():
+        g = wkb_loads(bytes(r["geom_wkb"]))
+        assert abs(karea(g) - r["n_pixels"] * w * w) < 1e-9
+        if r["n_pixels"] == ring_px:
+            # the ring polygon must carry a hole
+            leaves = g.flatten()
+            assert sum(len(leaf.rings) for leaf in leaves) >= 2
