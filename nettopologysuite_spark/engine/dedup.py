@@ -482,8 +482,42 @@ def _cc_precontract(edges: DataFrame, rounds: int = 2):
     return lab.withColumnRenamed("a", "node"), contracted
 
 
+def _cc_local_labels(edge_rows, spark) -> DataFrame:
+    """Exact union-find over a COLLECTED edge list (driver-side numpy) —
+    the terminal solve of hierarchical CC once contraction has shrunk the
+    graph below the driver threshold. Returns (node, label=component min).
+    """
+    import numpy as np
+    import pandas as pd
+
+    a = pd.factorize(pd.Series([r[0] for r in edge_rows]
+                               + [r[1] for r in edge_rows]))
+    codes, uniques = a
+    m = len(edge_rows)
+    ua, ub = codes[:m], codes[m:]
+    parent = np.arange(len(uniques), dtype=np.int64)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for i in range(m):
+        ra, rb = find(ua[i]), find(ub[i])
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.array([find(i) for i in range(len(uniques))])
+    lab = pd.Series(uniques).groupby(roots).transform("min")
+    return spark.createDataFrame(
+        pd.DataFrame({"node": uniques, "label": lab})
+    )
+
+
 def _cc_star(edges: DataFrame, max_iters: int = 40,
-             precontract: int = 0) -> DataFrame:
+             precontract: int = 0, local_threshold: int = 200_000) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (the MapReduce CC dataflow of Kiveris et al., "Connected Components in
     MapReduce and Beyond") — O(log n) rounds on ANY graph shape, including
@@ -514,12 +548,24 @@ def _cc_star(edges: DataFrame, max_iters: int = 40,
         n_con = contracted.count()  # materialized by the checkpoint — cheap
         if n_con == 0:
             return node_map.select("node", F.col("l").alias("label"))
-        n_in = edges.count()
-        if n_con < 0.7 * n_in:
-            roots = _cc_star(contracted, max_iters=max_iters,
-                             precontract=precontract)
-        else:  # contraction stalled (already a local-min-free structure)
-            roots = _cc_star(contracted, max_iters=max_iters)
+        if n_con <= local_threshold:
+            # hierarchical-CC terminal solve: the contracted graph fits the
+            # driver → ONE exact union-find instead of O(log n) more
+            # distributed rounds (each round's fixed latency dwarfs the
+            # compute at this size). At 100 TB contraction levels keep
+            # running until this bound is met — the standard two-phase CC.
+            roots = _cc_local_labels(
+                [(r["a"], r["b"]) for r in contracted.collect()],
+                edges.sparkSession,
+            )
+        else:
+            n_in = edges.count()
+            if n_con < 0.7 * n_in:
+                roots = _cc_star(contracted, max_iters=max_iters,
+                                 precontract=precontract,
+                                 local_threshold=local_threshold)
+            else:  # contraction stalled (already a local-min-free structure)
+                roots = _cc_star(contracted, max_iters=max_iters)
         return (
             node_map.join(
                 roots.select(F.col("node").alias("l"), "label"), "l", "left"
