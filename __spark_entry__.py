@@ -929,6 +929,16 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_repetition(docs)
 
 
+def q_cluster_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostGIS ST_ClusterWithin analog: transitive closure of the
+    within-0.5 relation over the event points (DBSCAN without the density
+    gate) — eps-grid candidates + hierarchical star CC."""
+    from nettopologysuite_spark.engine.cluster import cluster_within
+
+    pts = _event_points(spark, sf_dir)
+    return cluster_within(pts, eps=0.5)
+
+
 def q_geo_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means (PostGIS ST_ClusterKMeans analog,
     pinned seeding/ties): k=8 over the event points. Iterative algorithm
@@ -1028,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "geo_cluster": q_geo_cluster,
         "geo_kmeans": q_geo_kmeans,
+        "cluster_within": q_cluster_within,
         "raster_polygonize": q_raster_polygonize,
         "doc_repetition": q_doc_repetition,
         "interval_join": q_interval_join,
@@ -1513,6 +1524,31 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "doc_quality": _doc_quality_oracle(),
         "simhash": _simhash_oracle(),
+        "cluster_within": (
+            # transitive closure of the within-0.5 relation (same eps-grid
+            # candidacy; /0.5 ≡ *2 exactly), min-label components,
+            # singletons label themselves
+            "WITH RECURSIVE "
+            f"pts AS (SELECT pid, x, y, "
+            "CAST(FLOOR(x * CAST(2 AS DOUBLE)) AS BIGINT) AS cx, "
+            "CAST(FLOOR(y * CAST(2 AS DOUBLE)) AS BIGINT) AS cy "
+            f"FROM {_PTS} p), "
+            "offs AS (SELECT dxs.g AS dx, dys.g AS dy "
+            "FROM generate_series(-1, 1) dxs(g), generate_series(-1, 1) dys(g)), "
+            "e AS (SELECT p.pid AS a, q.pid AS b "
+            "FROM pts p CROSS JOIN offs JOIN pts q "
+            "ON p.cx + offs.dx = q.cx AND p.cy + offs.dy = q.cy "
+            "WHERE p.pid <> q.pid AND "
+            "(p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) "
+            "<= CAST(1 AS DOUBLE) / CAST(4 AS DOUBLE)), "
+            "reach(node, label) AS ("
+            "  SELECT a, a FROM e "
+            "  UNION "
+            "  SELECT e.a, r.label FROM e JOIN reach r ON e.b = r.node), "
+            "clab AS (SELECT node, MIN(label) AS cl FROM reach GROUP BY node) "
+            "SELECT p.pid, COALESCE(k.cl, p.pid) AS cluster_id "
+            "FROM pts p LEFT JOIN clab k ON p.pid = k.node"
+        ),
         "raster_polygonize": (
             # closed-form regions of the striped synthetic raster:
             # 16-wide × 64-tall rectangles; region_id = top-left pixel id;

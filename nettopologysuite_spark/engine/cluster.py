@@ -104,14 +104,12 @@ def kmeans(points: DataFrame, k: int, max_iters: int = 10,
     )
 
 
-def dbscan(points: DataFrame, eps: float, min_pts: int,
-           id_col: str = "pid", x: str = "x", y: str = "y") -> DataFrame:
-    """→ (id, cluster_id nullable, is_core) — one row per input point.
-
-    ``eps`` should be a dyadic rational when oracle-exact floor-grid
-    parity with an external SQL engine matters (the division then stays
-    exact in IEEE doubles).
-    """
+def _eps_pairs(points: DataFrame, eps: float, id_col: str, x: str,
+               y: str) -> DataFrame:
+    """Ordered (a, b) pairs within ``eps`` (self-pairs included): eps-grid
+    cells, 3×3-neighborhood equi-join (9-row explode on the left side
+    only), codegen distance refine — the shared candidate stage of
+    ``dbscan`` and ``cluster_within``."""
     pts = points.select(
         F.col(id_col).alias("_id"), F.col(x).alias("_x"), F.col(y).alias("_y")
     ).withColumn(
@@ -119,7 +117,6 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
     ).withColumn(
         "_cy", F.floor(F.col("_y") / F.lit(eps)).cast("long")
     )
-
     offsets = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
         for dx in (-1, 0, 1) for dy in (-1, 0, 1)
@@ -140,12 +137,49 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
     )
     dx = F.col("ax") - F.col("bx")
     dy = F.col("ay") - F.col("by")
-    pairs = (
+    return (
         left.join(right, ["jx", "jy"])
         .filter(dx * dx + dy * dy <= F.lit(eps * eps))
         .select("a", "b")
-        .persist()
     )
+
+
+def cluster_within(points: DataFrame, eps: float, id_col: str = "pid",
+                   x: str = "x", y: str = "y") -> DataFrame:
+    """PostGIS ``ST_ClusterWithin`` analog: transitive closure of the
+    within-``eps`` relation — every point gets (id, cluster_id) with
+    cluster_id = min id in its component (singletons label themselves).
+    DBSCAN without the density gate: same eps-grid candidate join, then
+    hierarchical star CC (precontraction + driver union-find terminal
+    solve) over ALL within-eps pairs.
+    """
+    pairs = _eps_pairs(points, eps, id_col, x, y).filter(
+        F.col("a") != F.col("b")
+    )
+    sym = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    lab = _cc_star(sym, precontract=2)
+    return (
+        points.select(F.col(id_col).alias("_id"))
+        .join(lab.withColumnRenamed("node", "_id"), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("label"), F.col("_id")).alias("cluster_id"),
+        )
+    )
+
+
+def dbscan(points: DataFrame, eps: float, min_pts: int,
+           id_col: str = "pid", x: str = "x", y: str = "y") -> DataFrame:
+    """→ (id, cluster_id nullable, is_core) — one row per input point.
+
+    ``eps`` should be a dyadic rational when oracle-exact floor-grid
+    parity with an external SQL engine matters (the division then stays
+    exact in IEEE doubles).
+    """
+    pts = points.select(F.col(id_col).alias("_id"))
+    pairs = _eps_pairs(points, eps, id_col, x, y).persist()
     deg = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
     core = deg.filter(F.col("_deg") >= min_pts).select("a").persist()
 

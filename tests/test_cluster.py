@@ -142,3 +142,48 @@ def test_kmeans_properties(spark):
     assert len(set(labels[:40])) == 1
     assert len(set(labels[40:75])) == 1
     assert len(set(labels[75:])) == 1
+
+
+def test_cluster_within_matches_brute_force(spark):
+    """Transitive within-eps closure equals a python BFS closure; the
+    refactored _eps_pairs keeps dbscan's behavior (regression via the
+    existing dbscan brute-force test running in the same suite)."""
+    import numpy as np
+
+    from nettopologysuite_spark.engine.cluster import cluster_within
+
+    rng = np.random.default_rng(11)
+    pts = np.concatenate([
+        rng.normal((5, 5), 0.4, (15, 2)),
+        rng.normal((20, 5), 0.4, (10, 2)),
+        np.array([[40.0, 40.0]]),  # singleton
+        # a chain bridging two spots pairwise within eps
+        np.array([[30.0, 30.0], [30.7, 30.0], [31.4, 30.0], [32.1, 30.0]]),
+    ])
+    ids = np.arange(len(pts), dtype=np.int64)
+    eps = 1.0
+    d2 = (pts[:, 0][:, None] - pts[:, 0][None, :]) ** 2 + \
+         (pts[:, 1][:, None] - pts[:, 1][None, :]) ** 2
+    nbr = d2 <= eps * eps
+    want = {}
+    for i in range(len(pts)):
+        if i in want:
+            continue
+        stack, seen = [i], {i}
+        while stack:
+            u = stack.pop()
+            for v in np.flatnonzero(nbr[u]):
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        cl = min(int(ids[m]) for m in seen)
+        for m in seen:
+            want[m] = cl
+    df = spark.createDataFrame(
+        [(int(i), float(p[0]), float(p[1])) for i, p in zip(ids, pts)],
+        "pid long, x double, y double",
+    )
+    got = {r["pid"]: r["cluster_id"]
+           for r in cluster_within(df, eps=eps).collect()}
+    assert got == {int(k): v for k, v in want.items()}
+    assert got[25] == 25  # the singleton labels itself
