@@ -121,7 +121,8 @@ DEDUP_BANDS = 4
 def embed_cosine_dedup(emb: DataFrame, threshold_pct: int = 40,
                        id_col: str = "vec_id", emb_col: str = "embedding",
                        n_planes: int = DEDUP_PLANES,
-                       bands: int = DEDUP_BANDS) -> DataFrame:
+                       bands: int = DEDUP_BANDS,
+                       max_bucket: int | None = 10_000) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: LSH-bucket self-join for
     candidates, exact quantized cosine ≥ threshold on candidates only.
 
@@ -151,6 +152,7 @@ def embed_cosine_dedup(emb: DataFrame, threshold_pct: int = 40,
             for b in range(bands)
         ])).alias("bk"),
     ).select(id_col, "bk.band", "bk.val")
+    buckets = _cap_buckets(buckets, ["band", "val"], max_bucket, id_col)
     right = buckets.select(F.col(id_col).alias("id2"), "band", "val")
     pairs = (
         buckets.join(right, ["band", "val"])
@@ -204,7 +206,8 @@ def _sig_sql_exprs(planes: list[list[int]], bands: int, tbl: str) -> list[str]:
 
 def embed_cosine_dedup_oracle_sql(threshold_pct: int = 40,
                                   n_planes: int = DEDUP_PLANES,
-                                  bands: int = DEDUP_BANDS) -> str:
+                                  bands: int = DEDUP_BANDS,
+                                  max_bucket: int = 10_000) -> str:
     """The identical definition in ANSI SQL (DuckDB) over the embeddings
     view — bit-for-bit comparable with :func:`embed_cosine_dedup`."""
     BANDS = bands  # local name for the shared query body below
@@ -213,12 +216,15 @@ def embed_cosine_dedup_oracle_sql(threshold_pct: int = 40,
         "WITH s AS (SELECT e.vec_id, e.embedding, "
         + ", ".join(f"{e_bands[b]} AS band{b}" for b in range(BANDS))
         + " FROM embeddings e), "
-        "bk AS ("
+        "bk0 AS ("
         + " UNION ALL ".join(
             f"SELECT vec_id, embedding, {b} AS band, band{b} AS val FROM s"
             for b in range(BANDS)
         )
         + "), "
+        "bkc AS (SELECT band, val FROM bk0 GROUP BY band, val "
+        f"HAVING COUNT(*) <= {max_bucket}), "
+        "bk AS (SELECT bk0.* FROM bk0 JOIN bkc USING (band, val)), "
         "cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2, "
         "a.embedding AS e1, b.embedding AS e2 FROM bk a JOIN bk b "
         "ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id), "
@@ -525,8 +531,25 @@ def project_oracle_sql(out_dim: int = PROJ_DIM) -> str:
     )
 
 
+def _cap_buckets(buckets: DataFrame, keys: list[str], max_bucket: int | None,
+                 id_col: str) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket`` before a self-join —
+    the candidate volume is Σ_buckets c², so one degenerate mega-bucket
+    (e.g. a zero-vector shard family) otherwise swamps a single task.
+    Same rationale/default posture as MinHash's hot-bucket cap; dropped
+    buckets cost recall, never correctness, and the SQL oracles replicate
+    the identical HAVING bound so results stay bit-reproducible."""
+    if max_bucket is None:
+        return buckets
+    sizes = buckets.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_bsz")
+    ).filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+    return buckets.join(sizes, keys, "left_semi")
+
+
 def knn_graph(emb: DataFrame, k: int, id_col: str = "vec_id",
-              emb_col: str = "embedding") -> DataFrame:
+              emb_col: str = "embedding",
+              max_bucket: int | None = 10_000) -> DataFrame:
     """kNN GRAPH over the whole embedding table — every vector's top-k
     most-similar LSH-bucket candidates by exact quantized cosine, the
     primitive under SemDeDup-style semantic dedup and kNN-graph
@@ -550,6 +573,7 @@ def knn_graph(emb: DataFrame, k: int, id_col: str = "vec_id",
             for b in range(BANDS)
         ])).alias("bk"),
     ).select(id_col, "bk.band", "bk.val")
+    buckets = _cap_buckets(buckets, ["band", "val"], max_bucket, id_col)
     right = buckets.select(F.col(id_col).alias("nbr_id"), "band", "val")
     pairs = (
         buckets.join(right, ["band", "val"])
@@ -585,19 +609,22 @@ def knn_graph(emb: DataFrame, k: int, id_col: str = "vec_id",
     )
 
 
-def knn_graph_oracle_sql(k: int) -> str:
+def knn_graph_oracle_sql(k: int, max_bucket: int = 10_000) -> str:
     """The identical kNN-graph definition in ANSI SQL (DuckDB)."""
     e_bands = _sig_sql_exprs(hyperplanes(), BANDS, "e")
     return (
         "WITH s AS (SELECT e.vec_id, e.embedding, "
         + ", ".join(f"{e_bands[b]} AS band{b}" for b in range(BANDS))
         + " FROM embeddings e), "
-        "bk AS ("
+        "bk0 AS ("
         + " UNION ALL ".join(
             f"SELECT vec_id, embedding, {b} AS band, band{b} AS val FROM s"
             for b in range(BANDS)
         )
         + "), "
+        "bkc AS (SELECT band, val FROM bk0 GROUP BY band, val "
+        f"HAVING COUNT(*) <= {max_bucket}), "
+        "bk AS (SELECT bk0.* FROM bk0 JOIN bkc USING (band, val)), "
         "cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS nbr_id, "
         "a.embedding AS q_emb, b.embedding AS n_emb FROM bk a JOIN bk b "
         "ON a.band = b.band AND a.val = b.val AND a.vec_id <> b.vec_id), "

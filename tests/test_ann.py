@@ -194,3 +194,26 @@ def test_knn_graph_planted_twins_and_shape(spark, sf_dir):
     assert abs(top_twin[2] - 1.0) < 1e-9
     top_src = min(by_q[twin_src["vec_id"]])
     assert top_src[1] == 100000
+
+
+def test_knn_graph_hot_bucket_cap(spark, sf_dir):
+    """A planted mega-bucket (many identical vectors → every band
+    collides) is dropped when it exceeds max_bucket; vectors outside it
+    keep their neighbors. Dropping costs recall, never correctness."""
+    from nettopologysuite_spark.engine.ann import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+    base = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    clone = base[0][1]
+    mega = [(50_000 + i, clone) for i in range(30)]
+    df = spark.createDataFrame(base + mega,
+                               "vec_id long, embedding array<float>")
+    capped = knn_graph(df, k=3, max_bucket=20)
+    got = {r["q_id"] for r in capped.collect()}
+    # the 30 clones + original share every 4-bit band bucket → all their
+    # buckets blow the cap; they can only appear via OTHER buckets
+    uncapped = {r["q_id"] for r in knn_graph(df, k=3, max_bucket=None).collect()}
+    assert got <= uncapped
+    clone_ids = {50_000 + i for i in range(30)}
+    assert len(uncapped & clone_ids) == 30
+    assert len(got & clone_ids) < 30  # mega-bucket candidates were dropped
