@@ -98,20 +98,34 @@ def raster_polygonize(pixels: DataFrame, n: int, extent: float = 100.0,
         F.col("iy").cast("long").alias("iy"),
         F.col("value"),
     )
-    right = base.select(
-        F.col("pid").alias("b"), F.col("ix").alias("jx"),
-        F.col("iy").alias("jy"), F.col("value").alias("v2"),
-    )
+    # adjacency via lead() windows, not self-joins: one row-partitioned
+    # and one column-partitioned shuffle carry half the data movement of
+    # the equivalent equi-joins, and the explicit coordinate check keeps
+    # sparse rasters (missing pixels) correct
+    from pyspark.sql import Window
+
+    wrow = Window.partitionBy("iy").orderBy("ix")
     e_right = (
-        base.withColumn("jx", F.col("ix") + 1).withColumn("jy", F.col("iy"))
-        .join(right, ["jx", "jy"])
-        .filter(F.col("value") == F.col("v2"))
+        base.select(
+            "pid", "ix", "value",
+            F.lead("pid").over(wrow).alias("b"),
+            F.lead("ix").over(wrow).alias("nix"),
+            F.lead("value").over(wrow).alias("nv"),
+        )
+        .filter((F.col("nix") == F.col("ix") + 1)
+                & (F.col("nv") == F.col("value")))
         .select(F.col("pid").alias("a"), "b")
     )
+    wcol = Window.partitionBy("ix").orderBy("iy")
     e_up = (
-        base.withColumn("jx", F.col("ix")).withColumn("jy", F.col("iy") + 1)
-        .join(right, ["jx", "jy"])
-        .filter(F.col("value") == F.col("v2"))
+        base.select(
+            "pid", "iy", "value",
+            F.lead("pid").over(wcol).alias("b"),
+            F.lead("iy").over(wcol).alias("niy"),
+            F.lead("value").over(wcol).alias("nv"),
+        )
+        .filter((F.col("niy") == F.col("iy") + 1)
+                & (F.col("nv") == F.col("value")))
         .select(F.col("pid").alias("a"), "b")
     )
     edges = e_right.union(e_up)
