@@ -64,6 +64,11 @@ def kmeans(points: DataFrame, k: int, max_iters: int = 10,
     pts = points.select(
         F.col(id_col).alias("_id"), F.col(x).alias("_x"), F.col(y).alias("_y")
     )
+    # every Lloyd iteration is one full pass over the points; cache the
+    # projected (id, x, y) table so the iterations scan memory instead of
+    # re-reading parquet + re-deriving coordinates each round (guide §5:
+    # persist exactly the reused frame; released before returning)
+    pts = pts.persist()
     init = pts.orderBy("_id").limit(k).collect()
     centers = [(float(r["_x"]), float(r["_y"])) for r in init]
 
@@ -99,9 +104,13 @@ def kmeans(points: DataFrame, k: int, max_iters: int = 10,
         centers = new_centers
         if moved == 0.0:
             break
-    return pts.withColumn("cluster_id", assign_col(centers)).select(
+    out = pts.withColumn("cluster_id", assign_col(centers)).select(
         F.col("_id").alias(id_col), "cluster_id"
     )
+    # the returned plan re-derives pts from source (one scan) — the cache
+    # must not outlive the query
+    pts.unpersist()
+    return out
 
 
 def _eps_pairs(points: DataFrame, eps: float, id_col: str, x: str,
@@ -153,12 +162,14 @@ def cluster_within(points: DataFrame, eps: float, id_col: str = "pid",
     hierarchical star CC (precontraction + driver union-find terminal
     solve) over ALL within-eps pairs.
     """
-    pairs = _eps_pairs(points, eps, id_col, x, y).filter(
+    # the 3x3-explode equi-join emits every ordered pair EXACTLY once (the
+    # partner's cell matches exactly one explode offset) and is symmetric by
+    # construction, so the former union+distinct re-symmetrization was a
+    # pure extra shuffle of the full pair set (guide §2.4: distinct on data
+    # that is already unique)
+    sym = _eps_pairs(points, eps, id_col, x, y).filter(
         F.col("a") != F.col("b")
     )
-    sym = pairs.union(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
     lab = _cc_star(sym, precontract=2)
     return (
         points.select(F.col(id_col).alias("_id"))
@@ -207,7 +218,14 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
     assigned = (
         core_labels.withColumn("is_core", F.lit(True))
         .unionByName(border.withColumn("is_core", F.lit(False)))
+        # one row per assigned point — materialize it so the persisted
+        # intermediates can be RELEASED before returning (they previously
+        # outlived the query) and the final action replays a small
+        # checkpoint instead of the whole candidate pipeline
+        .localCheckpoint(eager=True)
     )
+    for df in (pairs, core, core_labels):
+        df.unpersist()
     out = (
         pts.select(F.col("_id").alias("a"))
         .join(assigned, "a", "left")

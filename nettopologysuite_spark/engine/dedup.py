@@ -543,6 +543,14 @@ def _cc_star(edges: DataFrame, max_iters: int = 40,
     sf0.1 DBSCAN core graph.
     """
     if precontract > 0:
+        # materialize the edge relation ONCE before the contraction passes:
+        # _cc_precontract references it from several independent jobs (label
+        # checkpoint, neighbour-min round, quotient-edge build), and without
+        # this the upstream candidate pipeline (an eps-grid join or a window
+        # adjacency pass) re-executes per reference — measured 6 reads of
+        # the cluster_within eps join at sf0.1 (guide §2.4: do the work
+        # once, reuse the exchange/materialization)
+        edges = edges.localCheckpoint(eager=True)
         node_map, contracted = _cc_precontract(edges, rounds=precontract)
         contracted = contracted.localCheckpoint(eager=True)
         n_con = contracted.count()  # materialized by the checkpoint — cheap
@@ -573,7 +581,10 @@ def _cc_star(edges: DataFrame, max_iters: int = 40,
             .select("node", F.coalesce(F.col("label"), F.col("l")).alias("label"))
         )
     E = edges.filter(F.col("a") != F.col("b")).localCheckpoint(eager=True)
-    all_nodes = edges.select(F.col("a").alias("node")).distinct() \
+    # derive the node set from the checkpointed edge table (input contract:
+    # symmetric + self-loop-free, so the sets agree) instead of re-running
+    # the caller's edge pipeline a second time
+    all_nodes = E.select(F.col("a").alias("node")).distinct() \
         .localCheckpoint(eager=True)
 
     def half_round(cur: DataFrame, large: bool) -> DataFrame:

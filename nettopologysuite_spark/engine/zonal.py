@@ -129,10 +129,17 @@ def raster_polygonize(pixels: DataFrame, n: int, extent: float = 100.0,
         .select(F.col("pid").alias("a"), "b")
     )
     edges = e_right.union(e_up)
+    # right/up edges all have b > a and each appears once, so edges and
+    # their swaps are disjoint and duplicate-free — the symmetrized union
+    # needs no distinct shuffle
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    lab = _cc_star(sym, precontract=2).withColumnRenamed("node", "pid")
+    )
+    # labels materialize once: both downstream consumers (stats and the
+    # tile-union pass) re-read this small table instead of re-joining the
+    # CC output pieces per consumer
+    lab = _cc_star(sym, precontract=2).withColumnRenamed("node", "pid") \
+        .localCheckpoint(eager=True)
     reg = base.join(lab, "pid", "left").withColumn(
         "region_id", F.coalesce(F.col("label"), F.col("pid"))
     )
