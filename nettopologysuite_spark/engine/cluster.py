@@ -113,11 +113,16 @@ def kmeans(points: DataFrame, k: int, max_iters: int = 10,
     return out
 
 
-def _eps_pairs(points: DataFrame, eps: float, id_col: str, x: str,
-               y: str) -> DataFrame:
-    """Ordered (a, b) pairs within ``eps`` (self-pairs included): eps-grid
-    cells, 3×3-neighborhood equi-join (9-row explode on the left side
-    only), codegen distance refine — the shared candidate stage of
+def _eps_pairs_half(points: DataFrame, eps: float, id_col: str, x: str,
+                    y: str) -> DataFrame:
+    """Each UNORDERED within-``eps`` pair exactly once (self-pairs included
+    as (a, a)): eps-grid cells with a FORWARD half-neighborhood explode —
+    4 forward offsets plus the own cell with an ``a <= b`` tie-break —
+    instead of the full 3×3. Every adjacent cell-pair delta is covered by
+    exactly one of {(0,1), (1,-1), (1,0), (1,1)} up to role swap, so the
+    explode and the equi-join probe volume HALVE versus the 3×3 form
+    (guide §2.3: shuffle/join fewer rows) while the produced pair set is
+    identical after orientation expansion. Shared candidate stage of
     ``dbscan`` and ``cluster_within``."""
     pts = points.select(
         F.col(id_col).alias("_id"), F.col(x).alias("_x"), F.col(y).alias("_y")
@@ -127,14 +132,15 @@ def _eps_pairs(points: DataFrame, eps: float, id_col: str, x: str,
         "_cy", F.floor(F.col("_y") / F.lit(eps)).cast("long")
     )
     offsets = F.array(*[
-        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(dx != 0 or dy != 0).alias("fwd"))
+        for dx, dy in ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
     ])
     left = (
         pts.select("*", F.explode(offsets).alias("_o"))
         .select(
             F.col("_id").alias("a"), F.col("_x").alias("ax"),
-            F.col("_y").alias("ay"),
+            F.col("_y").alias("ay"), F.col("_o.fwd").alias("_fwd"),
             (F.col("_cx") + F.col("_o.dx")).alias("jx"),
             (F.col("_cy") + F.col("_o.dy")).alias("jy"),
         )
@@ -148,6 +154,7 @@ def _eps_pairs(points: DataFrame, eps: float, id_col: str, x: str,
     dy = F.col("ay") - F.col("by")
     return (
         left.join(right, ["jx", "jy"])
+        .filter(F.col("_fwd") | (F.col("a") <= F.col("b")))
         .filter(dx * dx + dy * dy <= F.lit(eps * eps))
         .select("a", "b")
     )
@@ -162,15 +169,17 @@ def cluster_within(points: DataFrame, eps: float, id_col: str = "pid",
     hierarchical star CC (precontraction + driver union-find terminal
     solve) over ALL within-eps pairs.
     """
-    # the 3x3-explode equi-join emits every ordered pair EXACTLY once (the
-    # partner's cell matches exactly one explode offset) and is symmetric by
-    # construction, so the former union+distinct re-symmetrization was a
-    # pure extra shuffle of the full pair set (guide §2.4: distinct on data
-    # that is already unique)
-    sym = _eps_pairs(points, eps, id_col, x, y).filter(
+    # half-neighborhood candidates: each unordered pair materializes ONCE
+    # (half the join volume), then both orientations derive from the
+    # checkpointed narrow pair table — no distinct needed anywhere (the
+    # former union+distinct re-symmetrization was a pure extra shuffle)
+    half = _eps_pairs_half(points, eps, id_col, x, y).filter(
         F.col("a") != F.col("b")
+    ).localCheckpoint(eager=True)
+    sym = half.union(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    lab = _cc_star(sym, precontract=2)
+    lab = _cc_star(sym, precontract=2, materialized=True)
     return (
         points.select(F.col(id_col).alias("_id"))
         .join(lab.withColumnRenamed("node", "_id"), "_id", "left")
@@ -190,7 +199,14 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
     exact in IEEE doubles).
     """
     pts = points.select(F.col(id_col).alias("_id"))
-    pairs = _eps_pairs(points, eps, id_col, x, y).persist()
+    # unordered candidates materialize once (half the join volume); the
+    # full ordered pair multiset — identical to the former 3x3 join output —
+    # derives from the cached narrow table
+    half = _eps_pairs_half(points, eps, id_col, x, y).persist()
+    pairs = half.union(
+        half.filter(F.col("a") != F.col("b"))
+        .select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
     deg = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
     core = deg.filter(F.col("_deg") >= min_pts).select("a").persist()
 
@@ -224,7 +240,7 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
         # checkpoint instead of the whole candidate pipeline
         .localCheckpoint(eager=True)
     )
-    for df in (pairs, core, core_labels):
+    for df in (half, core, core_labels):
         df.unpersist()
     out = (
         pts.select(F.col("_id").alias("a"))

@@ -453,9 +453,9 @@ def _cc_precontract(edges: DataFrame, rounds: int = 2):
     node's post-propagation label; contracted edges (a, b) distinct,
     self-loop-free, symmetric-in, on label ids.
     """
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    # input contract (see _cc_star): edges arrive symmetric, so the former
+    # internal union-with-swap doubled every groupBy/join input for nothing
+    sym = edges
     lab = sym.groupBy("a").agg(F.min("b").alias("_mn")).select(
         "a", F.least(F.col("a"), F.col("_mn")).alias("l")
     ).localCheckpoint(eager=True)
@@ -517,7 +517,8 @@ def _cc_local_labels(edge_rows, spark) -> DataFrame:
 
 
 def _cc_star(edges: DataFrame, max_iters: int = 40,
-             precontract: int = 0, local_threshold: int = 200_000) -> DataFrame:
+             precontract: int = 0, local_threshold: int = 200_000,
+             materialized: bool = False) -> DataFrame:
     """Connected components by alternating large-star / small-star rounds
     (the MapReduce CC dataflow of Kiveris et al., "Connected Components in
     MapReduce and Beyond") — O(log n) rounds on ANY graph shape, including
@@ -549,8 +550,11 @@ def _cc_star(edges: DataFrame, max_iters: int = 40,
         # this the upstream candidate pipeline (an eps-grid join or a window
         # adjacency pass) re-executes per reference — measured 6 reads of
         # the cluster_within eps join at sf0.1 (guide §2.4: do the work
-        # once, reuse the exchange/materialization)
-        edges = edges.localCheckpoint(eager=True)
+        # once, reuse the exchange/materialization). ``materialized=True``
+        # promises the caller already checkpointed/persisted the edge
+        # pipeline (cheap re-reads) — skip the double materialization.
+        if not materialized:
+            edges = edges.localCheckpoint(eager=True)
         node_map, contracted = _cc_precontract(edges, rounds=precontract)
         contracted = contracted.localCheckpoint(eager=True)
         n_con = contracted.count()  # materialized by the checkpoint — cheap

@@ -187,3 +187,33 @@ def test_cluster_within_matches_brute_force(spark):
            for r in cluster_within(df, eps=eps).collect()}
     assert got == {int(k): v for k, v in want.items()}
     assert got[25] == 25  # the singleton labels itself
+
+
+def test_eps_pairs_half_matches_brute_force(spark):
+    """The forward half-neighborhood candidate join must produce every
+    unordered within-eps pair exactly once (self-pairs as (a, a)) — the
+    r6 halved-volume replacement for the 3x3 explode."""
+    from pyspark.sql import functions as F
+
+    from nettopologysuite_spark.engine.cluster import _eps_pairs_half
+
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 8, (60, 2))
+    ids = np.arange(len(pts), dtype=np.int64)
+    eps = 0.75
+    d2 = (pts[:, 0][:, None] - pts[:, 0][None, :]) ** 2 + (
+        pts[:, 1][:, None] - pts[:, 1][None, :]
+    ) ** 2
+    want = {
+        (int(min(i, j)), int(max(i, j)))
+        for i in ids for j in ids
+        if d2[i, j] <= eps * eps
+    }
+    df = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in zip(ids, pts)],
+        "pid long, x double, y double",
+    )
+    rows = _eps_pairs_half(df, eps, "pid", "x", "y").collect()
+    got = [(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in rows]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert set(got) == want
