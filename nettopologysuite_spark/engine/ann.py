@@ -152,14 +152,14 @@ def embed_cosine_dedup(emb: DataFrame, threshold_pct: int = 40,
             for b in range(bands)
         ])).alias("bk"),
     ).select(id_col, "bk.band", "bk.val")
-    buckets = _cap_buckets(buckets, ["band", "val"], max_bucket, id_col)
-    right = buckets.select(F.col(id_col).alias("id2"), "band", "val")
-    pairs = (
-        buckets.join(right, ["band", "val"])
-        .filter(F.col(id_col) < F.col("id2"))
-        .select(F.col(id_col).alias("d1"), F.col("id2").alias("d2"))
-        .distinct()
-    )
+    # IN-BUCKET pair generation (the minhash_lsh shape, BENCH/NOTES.md):
+    # one shuffle of the bucket table + a native combination explode, with
+    # the hot-bucket cap as a plain size filter on the grouped id list.
+    # The former cap-semi-join + bucket self-join re-executed the 32-plane
+    # signature pass once per reference (4 parquet scans of the embedding
+    # table in the plan, each paying the higher-order dot products) —
+    # in-bucket generation computes signatures ONCE. Same candidate set.
+    pairs = _bucket_pairs(buckets, id_col, max_bucket)
     qe = f"transform({emb_col}, x -> floor(CAST(x AS DOUBLE) * 1024D))"
     qv = emb.select(
         F.col(id_col),
@@ -531,20 +531,37 @@ def project_oracle_sql(out_dim: int = PROJ_DIM) -> str:
     )
 
 
-def _cap_buckets(buckets: DataFrame, keys: list[str], max_bucket: int | None,
-                 id_col: str) -> DataFrame:
-    """Drop LSH buckets larger than ``max_bucket`` before a self-join —
-    the candidate volume is Σ_buckets c², so one degenerate mega-bucket
-    (e.g. a zero-vector shard family) otherwise swamps a single task.
-    Same rationale/default posture as MinHash's hot-bucket cap; dropped
-    buckets cost recall, never correctness, and the SQL oracles replicate
-    the identical HAVING bound so results stay bit-reproducible."""
-    if max_bucket is None:
-        return buckets
-    sizes = buckets.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("_bsz")
-    ).filter(F.col("_bsz") <= max_bucket).drop("_bsz")
-    return buckets.join(sizes, keys, "left_semi")
+def _bucket_pairs(buckets: DataFrame, id_col: str,
+                  max_bucket: int | None) -> DataFrame:
+    """DISTINCT unordered candidate pairs (d1 < d2) from an LSH bucket
+    table by IN-BUCKET generation: groupBy (band, val) → sorted id list →
+    native pair-combination explode — ONE shuffle of the bucket table
+    (the former self-join shuffled it twice, and its hot-bucket cap
+    semi-join re-ran the signature scan a third and fourth time).
+
+    ``max_bucket`` drops buckets above the cap (the candidate volume is
+    Σ_buckets c², so one degenerate mega-bucket otherwise swamps a single
+    task; same posture as MinHash's cap). Dropped buckets cost recall,
+    never correctness, and the SQL oracles replicate the identical bound
+    (HAVING COUNT(*) <= cap) so results stay bit-reproducible."""
+    bl = buckets.groupBy("band", "val").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    ).where(F.size("ids") > 1)
+    if max_bucket is not None:
+        bl = bl.where(F.size("ids") <= max_bucket)
+    return (
+        bl.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x as d1, y as d2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.d1", "p.d2")
+        .distinct()
+    )
 
 
 def knn_graph(emb: DataFrame, k: int, id_col: str = "vec_id",
@@ -573,31 +590,39 @@ def knn_graph(emb: DataFrame, k: int, id_col: str = "vec_id",
             for b in range(BANDS)
         ])).alias("bk"),
     ).select(id_col, "bk.band", "bk.val")
-    buckets = _cap_buckets(buckets, ["band", "val"], max_bucket, id_col)
-    right = buckets.select(F.col(id_col).alias("nbr_id"), "band", "val")
-    pairs = (
-        buckets.join(right, ["band", "val"])
-        .filter(F.col(id_col) != F.col("nbr_id"))
-        .select(F.col(id_col).alias("q_id"), "nbr_id")
-        .distinct()
-    )
+    # one signature pass + one shuffle via in-bucket generation (see
+    # _bucket_pairs — the former cap-semi-join + self-join scanned the
+    # embedding table four times); the unordered pair table materializes
+    # once and the kNN graph's two orientations derive from it
+    upairs = _bucket_pairs(buckets, id_col, max_bucket)
     qe = f"transform({emb_col}, x -> floor(CAST(x AS DOUBLE) * 1024D))"
     qv = emb.select(
         F.col(id_col),
         F.expr(qe).alias("qv"),
         F.expr(f"sqrt(aggregate({qe}, 0D, (a, v) -> a + v * v))").alias("nrm"),
     )
-    scored = (
-        pairs
-        .join(qv.select(F.col(id_col).alias("q_id"), F.col("qv").alias("v1"),
-                        F.col("nrm").alias("n1")), "q_id")
-        .join(qv.select(F.col(id_col).alias("nbr_id"), F.col("qv").alias("v2"),
-                        F.col("nrm").alias("n2")), "nbr_id")
+    # exact quantized cosine is SYMMETRIC, so each unordered pair is scored
+    # once and the kNN graph's two orientations explode from the scored row
+    # — half the re-rank joins and half the higher-order dot products of
+    # the per-orientation form, bit-identical sim per direction
+    scored_u = (
+        upairs
+        .join(qv.select(F.col(id_col).alias("d1"), F.col("qv").alias("v1"),
+                        F.col("nrm").alias("n1")), "d1")
+        .join(qv.select(F.col(id_col).alias("d2"), F.col("qv").alias("v2"),
+                        F.col("nrm").alias("n2")), "d2")
         .withColumn("sim", F.expr(
             "aggregate(zip_with(v1, v2, (x, y) -> x * y), 0D, (a, v) -> a + v)"
             " / (n1 * n2)"
         ))
     )
+    scored = scored_u.select(
+        F.explode(F.array(
+            F.struct(F.col("d1").alias("q_id"), F.col("d2").alias("nbr_id")),
+            F.struct(F.col("d2").alias("q_id"), F.col("d1").alias("nbr_id")),
+        )).alias("e"),
+        "sim",
+    ).select("e.q_id", "e.nbr_id", "sim")
     from pyspark.sql import Window
 
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(),
