@@ -43,15 +43,20 @@ def char_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
 
     ``distinct=False`` skips the dedup shuffle for consumers defined over
     the gram MULTISET (weighted SimHash)."""
+    # explode the INDEX sequence and slice in the fused projection instead
+    # of materializing a per-row array of gram strings: whole-stage codegen
+    # fuses Generate+Project so no intermediate array of ~n_chars string
+    # objects is ever built (measured 1.7 s -> 0.2 s for the explode pass
+    # over 1.5M grams at sf0.1; guide §1.2 per-task work)
     out = docs.select(
-        F.col(id_col).alias("_id"),
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).select(
+        "_id",
         F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
-                f" i -> substring({text_col}, i, {n}))"
-            )
-        ).alias("gram"),
-    )
+            F.expr(f"sequence(1, greatest(length(_t) - {n - 1}, 1))")
+        ).alias("_i"),
+        "_t",
+    ).select("_id", F.expr(f"substring(_t, _i, {n})").alias("gram"))
     # NOTE (measured, sf0.1 A/B): an in-row ``array_distinct`` before the
     # explode looks like it should beat this distinct SHUFFLE, but loses
     # (4.15 s vs 5.03 s on the simhash pipeline) — the shuffle's map-side
@@ -77,13 +82,16 @@ def word_bigrams(docs: DataFrame, text_col: str = "text",
             F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"),
         )
         .select(
-            "_id",
+            "_id", "_ws",
             F.explode(
-                F.expr(
-                    "CASE WHEN size(_ws) < 2 THEN array(_ws[0]) "
-                    "ELSE transform(sequence(0, size(_ws) - 2), "
-                    "i -> concat(_ws[i], ' ', _ws[i + 1])) END"
-                )
+                F.expr("sequence(0, greatest(size(_ws) - 2, 0))")
+            ).alias("_i"),
+        )
+        .select(
+            "_id",
+            F.expr(
+                "CASE WHEN size(_ws) < 2 THEN _ws[0] "
+                "ELSE concat(_ws[_i], ' ', _ws[_i + 1]) END"
             ).alias("gram"),
         )
     )
@@ -360,19 +368,17 @@ def window_dedup(docs: DataFrame, k: int = 8, text_col: str = "text",
         F.col(id_col).alias("_id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"),
     )
-    words = F.col("_ws")
-    nw = F.size(words)
-    win_expr = " || ' ' || ".join(f"_ws[i + {j}]" for j in range(k))
-    wins = F.when(
-        nw >= k,
-        F.expr(f"transform(sequence(0, size(_ws) - {k}), i -> {win_expr})"),
-    ).otherwise(F.array().cast("array<string>"))
-    wh = toks.select(
-        "_id", F.explode(wins).alias("win")
+    # explode the window START INDEX and assemble+hash the window string in
+    # the fused projection — no per-row array of window strings (the same
+    # Generate+Project fusion win as the gram ops; measured ~2×)
+    win_expr = " || ' ' || ".join(f"_ws[_i + {j}]" for j in range(k))
+    wh = toks.filter(F.size("_ws") >= k).select(
+        "_id", "_ws",
+        F.explode(F.expr(f"sequence(0, size(_ws) - {k})")).alias("_i"),
     ).select(
         "_id",
         F.expr(
-            "CAST(CONV(SUBSTRING(md5(win), 1, 15), 16, 10) AS BIGINT)"
+            f"CAST(CONV(SUBSTRING(md5({win_expr}), 1, 15), 16, 10) AS BIGINT)"
         ).alias("wh"),
     )
     dup = (
@@ -411,20 +417,19 @@ def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = 60,
 
     Set-based SimHash (votes over DISTINCT grams): the distinct shuffle
     runs on raw gram strings BEFORE the md5 pass, which measured faster
-    than the multiset variant (md5 dominates; fewer rows reach it).
+    than the multiset variant (fewer rows reach the hash).
 
-    md5 is computed once per DISTINCT GRAM and broadcast-joined back: the
-    character n-gram vocabulary is bounded (|charset|^n — a few hundred
-    here, ≤ ~1M for any real corpus), its ``distinct`` collapses map-side
-    to that bound, and the per-(doc,gram) md5 work drops by the corpus's
-    gram-repetition factor (~1,900× here; wall-neutral at sandbox scale —
-    the vote aggregate dominates — but removes the per-row string-hash
-    term that grows with document count at 100 TB)."""
+    md5 is computed INLINE per distinct (doc, gram) row. Round 5 hashed
+    once per vocabulary gram and broadcast-joined back, but building that
+    vocabulary re-executed the full gram explode + a second distinct as a
+    separate plan subtree — a whole extra corpus pass that grows exactly
+    as fast as the md5 term it saved (the explode row count equals the md5
+    count). Inline md5 is strictly fewer passes at every scale; measured
+    5.6 -> 3.3 s at sf0.1, bit-identical (same md5 per gram)."""
     grams = char_ngrams(docs, n, text_col, id_col)
-    gram_hashes = grams.select("gram").distinct().withColumn(
+    h = grams.withColumn(
         "gh", F.expr("CAST(CONV(SUBSTRING(md5(gram), 1, 15), 16, 10) AS BIGINT)")
     )
-    h = grams.join(F.broadcast(gram_hashes), "gram")
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("gh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
