@@ -39,9 +39,17 @@ def media_refs(docs: DataFrame) -> DataFrame:
             )
         ).alias("m"),
     )
-    return ex.select(
+    refs = ex.select(
         "doc_id", F.col("m.idx").alias("span_idx"), F.col("m.media_ref").alias("media_ref")
     )
+    # widen the CPU-bound fetch/decode stage: the refs table is tiny rows
+    # (a ref string per media span) but every downstream consumer does
+    # real per-ref work in Python — a small source file otherwise funnels
+    # the whole decode through 1-2 tasks (guide §2.5 input parallelism).
+    # The repartition shuffles only the narrow ref rows, never image bytes,
+    # and scales with the session's core count rather than a constant.
+    sc = docs.sparkSession.sparkContext
+    return refs.repartition(sc.defaultParallelism)
 
 
 def media_stats(docs: DataFrame) -> DataFrame:
@@ -105,6 +113,9 @@ def media_perceptual_stats(docs: DataFrame) -> DataFrame:
     first = docs.select(
         "doc_id", F.element_at(refs, 1)["media_ref"].alias("media_ref")
     ).filter(F.col("media_ref").isNotNull())
+    # widen the decode+dhash stage across the session's cores (same
+    # narrow-rows repartition rationale as media_refs)
+    first = first.repartition(docs.sparkSession.sparkContext.defaultParallelism)
 
     def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
