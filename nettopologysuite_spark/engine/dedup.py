@@ -126,10 +126,12 @@ def _jaccard_counts(grams: DataFrame, pairs: DataFrame,
     # so that pipeline runs ONCE, not once per reference (at 100 TB the
     # analog is materializing candidates to storage between stages)
     pairs = pairs.persist()
+    # no distinct: every consumer is a left_semi probe or a dedup-ing
+    # aggregate, so the duplicate ids cost nothing while the distinct was a
+    # full extra shuffle
     cand_ids = (
         pairs.select(F.col("d1").alias("_id"))
         .union(pairs.select(F.col("d2").alias("_id")))
-        .distinct()
     )
     cached = []
     if method == "sets":
@@ -646,6 +648,18 @@ def dup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     e = pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
         .distinct().persist()
+    if method == "auto" and 0 < edges.count() <= 200_000:
+        # the same hierarchical-CC terminal rule as _cc_star: when the pair
+        # graph already fits the driver threshold, ONE exact union-find
+        # replaces 2-3 distributed label rounds whose per-round fixed
+        # latency dwarfs their compute at this size (near-dup graphs are
+        # tiny relative to the corpus; at 100 TB a larger graph takes the
+        # distributed path below unchanged)
+        rows = [(r["a"], r["b"]) for r in edges.collect()]
+        edges.unpersist()
+        return _cc_local_labels(rows, pairs.sparkSession).select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
     if method == "star":
         out = _cc_star(edges).select(
             F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
