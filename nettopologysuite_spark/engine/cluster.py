@@ -73,19 +73,23 @@ def kmeans(points: DataFrame, k: int, max_iters: int = 10,
     centers = [(float(r["_x"]), float(r["_y"])) for r in init]
 
     def assign_col(cs):
-        best_d = None
-        best_i = F.lit(0)
-        cur = None
-        for i, (cx_, cy_) in enumerate(cs):
-            dx = F.col("_x") - F.lit(cx_)
-            dy = F.col("_y") - F.lit(cy_)
-            d2 = dx * dx + dy * dy
-            if best_d is None:
-                best_d, cur = d2, F.lit(0)
-            else:
-                cur = F.when(d2 < best_d, F.lit(i)).otherwise(cur)
-                best_d = F.least(best_d, d2)
-        return cur
+        # one parsed SQL expression per iteration instead of ~90 py4j
+        # Column-API roundtrips (the Lloyd loop rebuilds this every round —
+        # driver-side plan construction was a visible fraction of the
+        # iteration wall). `D` suffix keeps every centre literal a DOUBLE
+        # (a bare decimal literal would parse as DECIMAL); repr() round-
+        # trips the exact IEEE value, so the arithmetic is bit-identical.
+        def d2(cx_, cy_):
+            return (f"((_x - {cx_!r}D) * (_x - {cx_!r}D) "
+                    f"+ (_y - {cy_!r}D) * (_y - {cy_!r}D))")
+
+        best_d = d2(*cs[0])
+        cur = "0"
+        for i, (cx_, cy_) in enumerate(cs[1:], start=1):
+            di = d2(cx_, cy_)
+            cur = f"(CASE WHEN {di} < {best_d} THEN {i} ELSE {cur} END)"
+            best_d = f"least({best_d}, {di})"
+        return F.expr(cur)
 
     for _ in range(max_iters):
         assigned = pts.withColumn("cluster_id", assign_col(centers))

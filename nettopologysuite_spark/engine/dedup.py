@@ -199,9 +199,16 @@ def ngram_jaccard_pairs(
 
     Grams pass through NON-distinct: ``_jaccard_counts`` dedups after its
     candidate semi-join anyway, so a pre-distinct here would pay the
-    full-corpus shuffle twice."""
+    full-corpus shuffle twice.
+
+    Verify strategy: ``sets`` — re-measured in round 6 after the gram
+    explode rework (interleaved reps at sf0.1: sets 2.5 s vs join 3.8 s on
+    the 8.7k-pair blocked workload; the round-4 25%-for-join reading
+    predates the cheaper gram pipeline). Both strategies produce identical
+    (d1, d2, ni, nu) rows."""
     return _jaccard_counts(
-        char_ngrams(docs, n, text_col, id_col, distinct=False), pairs
+        char_ngrams(docs, n, text_col, id_col, distinct=False), pairs,
+        method="sets",
     )
 
 
@@ -263,16 +270,21 @@ def minhash_lsh_pairs(
         F.pmod(F.xxhash64(F.col("gram")), F.lit(P)).alias("_h1"),
         F.pmod(F.xxhash64(F.lit(1), F.col("gram")), F.lit(P)).alias("_h2"),
     )
+    # parsed SQL strings instead of Column-API composition — same
+    # expressions, a fraction of the py4j plan-construction cost (see
+    # simhash_fingerprints note)
     sig = hashed.groupBy("_id").agg(
         *[
-            F.min(F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(P))).alias(f"h{i}")
+            F.expr(f"min(pmod(_h1 + {i} * _h2, {P}))").alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
     rows_per_band = num_hashes // bands
     band_cols = [
-        F.xxhash64(
-            F.lit(bi), *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        F.expr(
+            f"xxhash64({bi}, "
+            + ", ".join(f"h{bi * rows_per_band + r}" for r in range(rows_per_band))
+            + ")"
         ).alias(f"b{bi}")
         for bi in range(bands)
     ]
@@ -432,18 +444,24 @@ def simhash_fingerprints(docs: DataFrame, n: int = 3, bits: int = 60,
     h = grams.withColumn(
         "gh", F.expr("CAST(CONV(SUBSTRING(md5(gram), 1, 15), 16, 10) AS BIGINT)")
     )
+    # aggregates and the bit-fold as PARSED SQL strings: composing these
+    # 120 expressions through the Column API cost ~8 py4j roundtrips each —
+    # over a second of pure driver-side plan construction per run (guide
+    # §7.3 driver-side work); one parse per expression is ~10x cheaper.
+    # Semantics identical (same CASE/shift arithmetic, disjoint-bit add
+    # in place of bitwise-or).
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("gh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(gh, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"s{b}")
         for b in range(bits)
     ]
     votes = h.groupBy("_id").agg(*bit_aggs)
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(term, b)
-        fp = term if fp is None else fp.bitwiseOR(term)
+    fp = F.expr(" + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    ))
     return votes.select(F.col("_id").alias(id_col), fp.alias("simhash"))
 
 

@@ -1369,7 +1369,11 @@ def knn_join_geom(
     chunks: list[DataFrame] = []
     w = Window.partitionBy(q_id).orderBy(F.col("dist2").asc(), F.col(d_id).asc())
 
-    # data side tiled ONCE (radius-independent); reused every round
+    # data side tiled ONCE (radius-independent); reused every round.
+    # Cached ALREADY HASH-PARTITIONED on the join key: every round's cell
+    # join then only shuffles the (tiny) query cover — the big exploded
+    # relation was previously re-exchanged per round (guide §2.4: two
+    # operations keyed the same way share one exchange).
     dc = explode_cover_native(
         data.select(F.col(d_id), F.col(d_wkb), env_udf(F.col(d_wkb)).alias("_env")),
         grid,
@@ -1378,7 +1382,7 @@ def knn_join_geom(
         F.col("_env.minx").alias("_dminx"), F.col("_env.miny").alias("_dminy"),
         F.col("_env.maxx").alias("_dmaxx"), F.col("_env.maxy").alias("_dmaxy"),
         "cell_id",
-    ).persist()
+    ).repartition("cell_id").persist()
 
     for _ in range(max_rounds):
         last = R >= diag
