@@ -65,7 +65,7 @@ def synthetic_striped_raster(spark: SparkSession, n: int = 128,
 
 
 def raster_polygonize(pixels: DataFrame, n: int, extent: float = 100.0,
-                      tile_shift: int = 4) -> DataFrame:
+                      tile_shift: int = 4, fanin: int = 64) -> DataFrame:
     """Raster → vector polygonize (the GDAL ``gdal_polygonize`` / PostGIS
     ``ST_DumpAsPolygons`` direction — closes the raster↔vector loop the
     zonal join opens): connected regions of equal-valued pixels
@@ -74,16 +74,21 @@ def raster_polygonize(pixels: DataFrame, n: int, extent: float = 100.0,
     → (region_id, value, n_pixels, area, geom_wkb) with region_id = min
     pixel id (iy·n + ix) in the region.
 
-    Scale shape: adjacency edges from two native equi-self-joins (right
-    and up neighbors, join keys precomputed columns); region labels via
-    the star connected-components dataflow with local precontraction
-    (``dedup._cc_star``); geometry via a TWO-LEVEL coverage union — pixel
-    squares union per (region, 2^tile_shift-square tile) first, partials
-    union per region second. ``coverage_union`` removes only duplicated
-    edges and never merges collinear segments, so tile partials stay
-    exactly noded against each other — the second level is again a valid
-    coverage. Task input is bounded by tile size at level 1 and by the
-    region's TILE count (not pixel count) at level 2.
+    Scale shape: adjacency edges from two lead()-window passes; region
+    labels via the star connected-components dataflow with local
+    precontraction (``dedup._cc_star``); geometry via a BOUNDED-FAN-IN
+    coverage-union tree — pixel squares union per (region,
+    2^tile_shift-square tile) first, then tile partials merge in rounds of
+    ``fanin`` (tile id integer-divides by ``fanin`` per round) until one
+    task per region unions at most ``fanin`` partials. ``coverage_union``
+    removes only duplicated edges and never merges collinear segments, so
+    partials stay exactly noded against each other — every level is again
+    a valid coverage. Task input is bounded by tile size at level 1 and by
+    ``fanin`` at every merge level, so a continent-sized equal-value
+    region can no longer concentrate its whole tile set in one task. The
+    number of merge rounds derives STATICALLY from the tile-grid size (no
+    per-level counting jobs); pixel counts ride along the partials, so the
+    per-region stats need no separate aggregate or join.
     """
     import pandas as pd
 
@@ -143,10 +148,6 @@ def raster_polygonize(pixels: DataFrame, n: int, extent: float = 100.0,
     reg = base.join(lab, "pid", "left").withColumn(
         "region_id", F.coalesce(F.col("label"), F.col("pid"))
     )
-    stats = reg.groupBy("region_id", "value").agg(
-        F.count(F.lit(1)).alias("n_pixels"),
-        (F.count(F.lit(1)) * F.lit(w * w)).alias("area"),
-    )
 
     def _square(ix: int, iy: int) -> Geom:
         import numpy as np
@@ -161,6 +162,9 @@ def raster_polygonize(pixels: DataFrame, n: int, extent: float = 100.0,
         squares = [_square(int(r.ix), int(r.iy)) for r in pdf.itertuples()]
         return pd.DataFrame({
             "region_id": [key[0]],
+            "tile": [key[1]],
+            "value": [pdf["value"].iloc[0]],
+            "n_px": [len(squares)],
             "w": [wkb_dumps(coverage_union(squares))],
         })
 
@@ -169,18 +173,47 @@ def raster_polygonize(pixels: DataFrame, n: int, extent: float = 100.0,
         (F.shiftright(F.col("iy"), tile_shift) * (n >> tile_shift)
          + F.shiftright(F.col("ix"), tile_shift)),
     )
+    part_schema = "region_id long, tile long, value long, n_px long, w binary"
     partials = tiled.groupBy("region_id", "tile").applyInPandas(
-        tile_partial, "region_id long, w binary"
+        tile_partial, part_schema
     )
 
-    def region_final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # fan-in bound holds by construction (tile DIV fanin per round);
+        # the assert turns a violated bound into a loud failure
+        assert len(pdf) <= fanin, f"fan-in bound violated: {len(pdf)}"
         parts = [wkb_loads(bytes(b)) for b in pdf["w"]]
         return pd.DataFrame({
             "region_id": [key[0]],
+            "tile": [key[1]],
+            "value": [pdf["value"].iloc[0]],
+            "n_px": [int(pdf["n_px"].sum())],
+            "w": [wkb_dumps(coverage_union(parts))],
+        })
+
+    # merge rounds until any region's partial count fits one task: the
+    # worst case is a region covering the whole tile grid, so the round
+    # count derives statically from the grid size — no counting jobs
+    groups = (n >> tile_shift) ** 2
+    while groups > fanin:
+        partials = partials.withColumn(
+            "tile", F.floor(F.col("tile") / fanin).cast("long")
+        ).groupBy("region_id", "tile").applyInPandas(merge_partial, part_schema)
+        groups = -(-groups // fanin)
+
+    def region_final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        assert len(pdf) <= fanin, f"fan-in bound violated: {len(pdf)}"
+        parts = [wkb_loads(bytes(b)) for b in pdf["w"]]
+        n_px = int(pdf["n_px"].sum())
+        return pd.DataFrame({
+            "region_id": [key[0]],
+            "value": [pdf["value"].iloc[0]],
+            "n_pixels": [n_px],
+            "area": [n_px * (w * w)],
             "geom_wkb": [wkb_dumps(coverage_union(parts))],
         })
 
-    geoms = partials.groupBy("region_id").applyInPandas(
-        region_final, "region_id long, geom_wkb binary"
+    return partials.groupBy("region_id").applyInPandas(
+        region_final,
+        "region_id long, value long, n_pixels long, area double, geom_wkb binary",
     )
-    return stats.join(geoms, "region_id")

@@ -512,3 +512,29 @@ def test_raster_polygonize_shapes_and_holes(spark):
             # the ring polygon must carry a hole
             leaves = g.flatten()
             assert sum(len(leaf.rings) for leaf in leaves) >= 2
+
+
+def test_raster_polygonize_bounded_fanin_giant_region(spark):
+    """A single region spanning the whole raster with a small fan-in cap:
+    the merge tree must engage (several rounds) and every union task's
+    input stays under the bound (asserted inside the merge kernels — a
+    violation fails the query loudly), with the assembled geometry and
+    stats unchanged."""
+    from nettopologysuite_spark.engine.zonal import raster_polygonize
+    from nettopologysuite_spark.kernels.geom import wkb_loads
+    from nettopologysuite_spark.kernels.measures import area as karea
+
+    n = 32
+    w = 100.0 / n
+    px = spark.range(n * n).selectExpr(
+        "id % 32 AS ix", "id DIV 32 AS iy", "CAST(5 AS LONG) AS value"
+    )
+    # tile_shift=2 -> 4x4-pixel tiles, 64 tiles, all one region; fanin=4
+    # forces 64 -> 16 -> 4 -> final merge rounds
+    out = raster_polygonize(px, n=n, tile_shift=2, fanin=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["value"], r["n_pixels"]) == (5, n * n)
+    g = wkb_loads(bytes(r["geom_wkb"]))
+    assert abs(karea(g) - n * n * w * w) < 1e-9
+    assert abs(r["area"] - n * n * w * w) < 1e-9
