@@ -244,7 +244,12 @@ def _event_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nettopologysuite_spark.kernels.geom import polygon, wkb_dumps
 
-    pts = _event_points(spark, sf_dir)
+    # narrow rows repartitioned so the WKB-assembly UDF runs as wide as the
+    # session (the single small source file otherwise serializes it in one
+    # task — same rationale as the media ref repartition)
+    pts = _event_points(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     @pandas_udf("binary")
     def _rect_wkb(pid: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
@@ -281,7 +286,9 @@ def _event_segs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    pts = _event_points(spark, sf_dir)
+    pts = _event_points(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     @pandas_udf("binary")
     def _seg_wkb(pid: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
@@ -315,7 +322,9 @@ def _event_rects_snapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    pts = _event_points(spark, sf_dir)
+    pts = _event_points(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     @pandas_udf("binary")
     def _rect_wkb(pid: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
