@@ -43,11 +43,14 @@ def char_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
 
     ``distinct=False`` skips the dedup shuffle for consumers defined over
     the gram MULTISET (weighted SimHash)."""
+    from .text import widen_input
+
     # explode the INDEX sequence and slice in the fused projection instead
     # of materializing a per-row array of gram strings: whole-stage codegen
     # fuses Generate+Project so no intermediate array of ~n_chars string
     # objects is ever built (measured 1.7 s -> 0.2 s for the explode pass
     # over 1.5M grams at sf0.1; guide §1.2 per-task work)
+    docs = widen_input(docs)
     out = docs.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).select(
@@ -74,10 +77,12 @@ def word_bigrams(docs: DataFrame, text_col: str = "text",
     ``distinct=False`` skips the dedup shuffle — correct for consumers whose
     aggregates are duplicate-insensitive (MinHash signatures: min over
     repeated grams is unchanged)."""
+    from .text import widen_input
+
     # project the split array ONCE, then shingle from it (the naive inline
     # form re-evaluates split(trim(text)) 4× per row)
     out = (
-        docs.select(
+        widen_input(docs).select(
             F.col(id_col).alias("_id"),
             F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"),
         )
@@ -378,7 +383,9 @@ def window_dedup(docs: DataFrame, k: int = 8, text_col: str = "text",
     # CollapseProject inlining → ONE split per row; a slice(words, i, k)
     # inside the transform lambda re-ran the split per element — the
     # higher-order O(n²) trap, see doc_repetition)
-    toks = docs.select(
+    from .text import widen_input
+
+    toks = widen_input(docs).select(
         F.col(id_col).alias("_id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"),
     )

@@ -22,6 +22,20 @@ LANG_MARKERS = {
 }
 
 
+def widen_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Raise the parallelism of a narrow-file scan before CPU-heavy per-row
+    stages (shingle explodes, hashing): a small corpus arrives as one or
+    two scan partitions, which serializes the whole map side in one task
+    regardless of core count. Conditional and scale-adaptive: inputs that
+    already carry at least the session parallelism (the 100 TB case, where
+    a corpus re-shuffle would be a real cost) pass through untouched."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _words_col(text_col: str):
     """ONE tokenization pass shared by every marker count: split on
     whitespace (the per-marker REPLACE-scan pattern re-read the full text
@@ -172,7 +186,7 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
     Texts shorter than n words contribute their whole token string as one
     gram (so every doc participates)."""
     return (
-        docs.select(
+        widen_input(docs).select(
             F.col(id_col).alias("_id"),
             F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"),
         )
