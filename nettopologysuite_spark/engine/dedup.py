@@ -402,28 +402,37 @@ def window_dedup(docs: DataFrame, k: int = 8, text_col: str = "text",
             f"CAST(CONV(SUBSTRING(md5({win_expr}), 1, 15), 16, 10) AS BIGINT)"
         ).alias("wh"),
     )
-    dup = (
-        wh.groupBy("wh")
-        .agg(F.count_distinct(F.col("_id")).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("wh")
-    )
-    totals = wh.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_windows")
+    # ONE pass over the window hashes (the former dup-set / totals /
+    # flagged trio re-executed the explode+md5 pipeline three times and
+    # paid an Expand-based count_distinct): hash-partition by wh once,
+    # then the (wh, doc) counts, the distinct-doc count per wh (a count
+    # over the same partitioning — no new exchange) and the per-doc dup
+    # sum all flow from it. Per-doc window totals are a closed-form
+    # projection of the token count (greatest(n_tokens - k + 1, 0)) — no
+    # explode needed at all for that column. Identical output
+    # (value-equality A/B at sf0.1; 1.7 -> 1.0 s warm).
+    from pyspark.sql import Window as W
+
+    g = wh.repartition("wh").groupBy("wh", "_id").agg(
+        F.count(F.lit(1)).alias("c")
     )
     flagged = (
-        wh.join(dup, "wh", "left_semi")
+        g.withColumn("_nd", F.count(F.lit(1)).over(W.partitionBy("wh")))
+        .filter(F.col("_nd") >= 2)
         .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+        .agg(F.sum("c").alias("n_dup_windows"))
     )
+    nwin = F.greatest(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) - (k - 1), F.lit(0)
+    ).cast("long")
     return (
-        docs.select(F.col(id_col).alias("_id"))
-        .join(totals, "_id", "left")
+        docs.select(F.col(id_col).alias("_id"), nwin.alias("n_windows"))
         .join(flagged, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
-            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
-            F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias("n_dup_windows"),
+            "n_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
+            .alias("n_dup_windows"),
         )
     )
 

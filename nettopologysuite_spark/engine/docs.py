@@ -164,6 +164,9 @@ def extract_geom_wkb(docs: DataFrame) -> DataFrame:
     def _parse(wkt: pd.Series) -> pd.Series:
         return pd.Series([wkb_dumps(wkt_loads(t)) for t in wkt])
 
+    # NOTE r6 negative A/B: widening ex before the parse (the media-style
+    # repartition) measured SLOWER at sf0.1 (1.2 -> 1.9 s) — the WKT parse
+    # is too cheap to amortize the extra exchange here
     return ex.select(
         "doc_id",
         F.col("g.idx").alias("span_idx"),
