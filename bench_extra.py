@@ -97,6 +97,45 @@ def cmd_profile(name: str) -> None:
     spark.stop()
 
 
+def cmd_bwprobe(n_rows: int = 64_000_000) -> None:
+    """Pure-bandwidth control for the scaling protocol (round-5 verdict #5):
+    a no-kernel shuffle job (range → hash key → repartition → count) with
+    the task count pinned to 8 and 32 inside ONE local[32] session,
+    interleaved best-of-3. If the host memory bus is what flattens the
+    engine's 8→32 curve, this kernel-free job must flatten the same way —
+    its 8→32 'efficiency' is the hardware ceiling any engine number should
+    be normalized by."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    spark.range(1000).count()  # warm
+    best = {8: None, 32: None}
+    for _rep in range(3):
+        for parts in best:
+            t0 = _t.time()
+            (
+                spark.range(0, n_rows, 1, parts)
+                .select(F.pmod(F.xxhash64("id"), F.lit(parts * 64)).alias("k"))
+                .repartition(parts, "k")
+                .groupBy("k").count()
+                .write.format("noop").mode("overwrite").save()
+            )
+            dt = _t.time() - t0
+            if best[parts] is None or dt < best[parts]:
+                best[parts] = dt
+    spark.stop()
+    thr = {p: n_rows / best[p] for p in best}
+    print(json.dumps({
+        "probe": "pure_shuffle",
+        "rows": n_rows,
+        "sec_8": round(best[8], 3), "sec_32": round(best[32], 3),
+        "rows_per_sec_8": round(thr[8], 1), "rows_per_sec_32": round(thr[32], 1),
+        "efficiency_8_32": round(thr[32] / (4.0 * thr[8]), 4),
+    }))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "time"
     if mode == "time":
@@ -105,5 +144,7 @@ if __name__ == "__main__":
         cmd_plans(sys.argv[2], sys.argv[3:])
     elif mode == "profile":
         cmd_profile(sys.argv[2])
+    elif mode == "bwprobe":
+        cmd_bwprobe(int(sys.argv[2]) if len(sys.argv) > 2 else 64_000_000)
     else:
         raise SystemExit(f"unknown mode {mode}")
