@@ -184,22 +184,30 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(_id, gram) DISTINCT word n-grams — native split/transform/explode.
     Texts shorter than n words contribute their whole token string as one
-    gram (so every doc participates)."""
+    gram (so every doc participates).
+
+    Fused index-explode form (no per-row array of gram strings — the same
+    Generate+Project fusion as the dedup shingles). NOT widened: the
+    token-level explode here is cheap enough that the extra repartition
+    measured slower on the decontaminate pipeline (r6 A/B: 0.9-1.1 s fused
+    vs 1.3-1.6 s fused+widen warm at sf0.1)."""
+    concat_expr = " || ' ' || ".join(f"_ws[_i + {j}]" for j in range(n))
     return (
-        widen_input(docs).select(
+        docs.select(
             F.col(id_col).alias("_id"),
             F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"),
         )
         .select(
-            "_id",
+            "_id", "_ws",
             F.explode(
-                F.expr(
-                    f"CASE WHEN size(_ws) < {n} THEN array(array_join(_ws, ' ')) "
-                    f"ELSE transform(sequence(0, size(_ws) - {n}), "
-                    "i -> " + " || ' ' || ".join(
-                        f"_ws[i + {j}]" for j in range(n)
-                    ) + ") END"
-                )
+                F.expr(f"sequence(0, greatest(size(_ws) - {n}, 0))")
+            ).alias("_i"),
+        )
+        .select(
+            "_id",
+            F.expr(
+                f"CASE WHEN size(_ws) < {n} THEN array_join(_ws, ' ') "
+                f"ELSE {concat_expr} END"
             ).alias("gram"),
         )
         .distinct()
