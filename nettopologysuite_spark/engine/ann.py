@@ -152,13 +152,9 @@ def embed_cosine_dedup(emb: DataFrame, threshold_pct: int = 40,
             for b in range(bands)
         ])).alias("bk"),
     ).select(id_col, "bk.band", "bk.val")
-    # IN-BUCKET pair generation (the minhash_lsh shape, BENCH/NOTES.md):
-    # one shuffle of the bucket table + a native combination explode, with
-    # the hot-bucket cap as a plain size filter on the grouped id list.
-    # The former cap-semi-join + bucket self-join re-executed the 32-plane
-    # signature pass once per reference (4 parquet scans of the embedding
-    # table in the plan, each paying the higher-order dot products) —
-    # in-bucket generation computes signatures ONCE. Same candidate set.
+    # one signature pass + parallel pair generation from the checkpointed
+    # bucket table (see _bucket_pairs; the former lazy plan re-ran the
+    # 32-plane signature scan once per reference). Same candidate set.
     pairs = _bucket_pairs(buckets, id_col, max_bucket)
     qe = f"transform({emb_col}, x -> floor(CAST(x AS DOUBLE) * 1024D))"
     qv = emb.select(
@@ -534,32 +530,36 @@ def project_oracle_sql(out_dim: int = PROJ_DIM) -> str:
 def _bucket_pairs(buckets: DataFrame, id_col: str,
                   max_bucket: int | None) -> DataFrame:
     """DISTINCT unordered candidate pairs (d1 < d2) from an LSH bucket
-    table by IN-BUCKET generation: groupBy (band, val) → sorted id list →
-    native pair-combination explode — ONE shuffle of the bucket table
-    (the former self-join shuffled it twice, and its hot-bucket cap
-    semi-join re-ran the signature scan a third and fourth time).
+    table: the (id, band, val) rows materialize ONCE (eager checkpoint —
+    the former lazy plan re-executed the 32-plane signature scan for every
+    reference: cap sizes, both self-join sides), then the pairs come from
+    a bucket SELF-JOIN on the checkpointed narrow table.
 
-    ``max_bucket`` drops buckets above the cap (the candidate volume is
-    Σ_buckets c², so one degenerate mega-bucket otherwise swamps a single
-    task; same posture as MinHash's cap). Dropped buckets cost recall,
-    never correctness, and the SQL oracles replicate the identical bound
-    (HAVING COUNT(*) <= cap) so results stay bit-reproducible."""
-    bl = buckets.groupBy("band", "val").agg(
-        F.sort_array(F.collect_list(id_col)).alias("ids")
-    ).where(F.size("ids") > 1)
+    The self-join — not in-bucket collect_list+explode — is deliberate:
+    these LSH buckets are FAT by construction (a 4-bit band holds ~n/16 of
+    the table), so in-bucket generation caps parallelism at the bucket
+    count and serializes each bucket's c²/2 explode in one task (measured
+    1.7x SLOWER at 10x scale), while the join's pair generation streams
+    inside ordinary shuffle partitions with AQE skew-splitting as backstop.
+    MinHash keeps the in-bucket form: its buckets are near-dup cliques
+    bounded by a 1k cap, the opposite shape.
+
+    ``max_bucket`` drops buckets above the cap (candidate volume is
+    Σ_buckets c²; a degenerate mega-bucket would swamp the join). Dropped
+    buckets cost recall, never correctness, and the SQL oracles replicate
+    the identical bound (HAVING COUNT(*) <= cap) so results stay
+    bit-reproducible."""
+    bk = buckets.localCheckpoint(eager=True)
     if max_bucket is not None:
-        bl = bl.where(F.size("ids") <= max_bucket)
+        sizes = bk.groupBy("band", "val").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        ).filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+        bk = bk.join(sizes, ["band", "val"], "left_semi")
+    right = bk.select(F.col(id_col).alias("_id2"), "band", "val")
     return (
-        bl.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x as d1, y as d2))))"
-                )
-            ).alias("p")
-        )
-        .select("p.d1", "p.d2")
+        bk.join(right, ["band", "val"])
+        .filter(F.col(id_col) < F.col("_id2"))
+        .select(F.col(id_col).alias("d1"), F.col("_id2").alias("d2"))
         .distinct()
     )
 
@@ -590,10 +590,9 @@ def knn_graph(emb: DataFrame, k: int, id_col: str = "vec_id",
             for b in range(BANDS)
         ])).alias("bk"),
     ).select(id_col, "bk.band", "bk.val")
-    # one signature pass + one shuffle via in-bucket generation (see
-    # _bucket_pairs — the former cap-semi-join + self-join scanned the
-    # embedding table four times); the unordered pair table materializes
-    # once and the kNN graph's two orientations derive from it
+    # ONE signature pass (see _bucket_pairs — the former lazy plan scanned
+    # the embedding table four times), parallel pair generation via the
+    # checkpointed bucket self-join
     upairs = _bucket_pairs(buckets, id_col, max_bucket)
     qe = f"transform({emb_col}, x -> floor(CAST(x AS DOUBLE) * 1024D))"
     qv = emb.select(

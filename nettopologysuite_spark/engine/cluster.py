@@ -220,7 +220,11 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
         .filter(F.col("a") != F.col("b"))
         .select("a", "b")
     )
-    cc = _cc_star(core_edges, precontract=2).select(
+    # materialized=True: core_edges derives from the CACHED half-pair table
+    # through two cheap semi-joins, so the precontract passes re-read the
+    # cache instead of paying an eager checkpoint write of the (quadratic)
+    # core-edge set — at 10x scale the checkpoint write was the regression
+    cc = _cc_star(core_edges, precontract=2, materialized=True).select(
         F.col("node").alias("a"), F.col("label").alias("_cl")
     )
     # singleton cores (no core neighbor) label themselves
