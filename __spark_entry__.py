@@ -244,12 +244,13 @@ def _event_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nettopologysuite_spark.kernels.geom import polygon, wkb_dumps
 
-    # narrow rows repartitioned so the WKB-assembly UDF runs as wide as the
-    # session (the single small source file otherwise serializes it in one
-    # task — same rationale as the media ref repartition)
-    pts = _event_points(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # narrow rows widened before the WKB-assembly UDF when the source scan
+    # is truly degenerate (1-2 partitions): the vectorized assembly is
+    # cheap, so beyond that the exchange outweighs the serialization
+    # (threshold_div=4 — measured at 1 and ~10 scan partitions)
+    from nettopologysuite_spark.engine.text import widen_input
+
+    pts = widen_input(_event_points(spark, sf_dir), threshold_div=4)
 
     @pandas_udf("binary")
     def _rect_wkb(pid: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
@@ -286,9 +287,9 @@ def _event_segs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    pts = _event_points(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    from nettopologysuite_spark.engine.text import widen_input
+
+    pts = widen_input(_event_points(spark, sf_dir), threshold_div=4)
 
     @pandas_udf("binary")
     def _seg_wkb(pid: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
@@ -322,9 +323,9 @@ def _event_rects_snapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    pts = _event_points(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    from nettopologysuite_spark.engine.text import widen_input
+
+    pts = widen_input(_event_points(spark, sf_dir), threshold_div=4)
 
     @pandas_udf("binary")
     def _rect_wkb(pid: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:

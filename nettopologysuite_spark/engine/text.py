@@ -22,16 +22,22 @@ LANG_MARKERS = {
 }
 
 
-def widen_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def widen_input(df: DataFrame, min_parts: int | None = None,
+                threshold_div: int = 1) -> DataFrame:
     """Raise the parallelism of a narrow-file scan before CPU-heavy per-row
-    stages (shingle explodes, hashing): a small corpus arrives as one or
-    two scan partitions, which serializes the whole map side in one task
-    regardless of core count. Conditional and scale-adaptive: inputs that
-    already carry at least the session parallelism (the 100 TB case, where
-    a corpus re-shuffle would be a real cost) pass through untouched."""
+    stages (shingle explodes, hashing, decode): a small corpus arrives as
+    one or two scan partitions, which serializes the whole map side in one
+    task regardless of core count. Conditional and scale-adaptive: inputs
+    that already carry at least target/``threshold_div`` partitions pass
+    through untouched (the 100 TB case, where a re-shuffle would be a real
+    cost). ``threshold_div`` > 1 is for stages whose per-row work is cheap
+    and vectorized (e.g. fixed-length WKB assembly): there the exchange
+    only pays for itself against a truly degenerate 1-2-partition scan —
+    measured at 1 scan partition (win) and ~10 scan partitions (loss) on
+    the within-distance geometry join."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if df.rdd.getNumPartitions() >= max(1, target // threshold_div):
         return df
     return df.repartition(target)
 
